@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from udal_tpu.config import get_detection_config
+from udal_tpu.ops import anchors as anchor_lib
+from udal_tpu.ops import uncertainty as unc
+
+
+def _setup(n=200, seed=0):
+    rng = np.random.RandomState(seed)
+    cfg = get_detection_config("efficientdet-d0")
+    anchors = anchor_lib.from_config(cfg).boxes_np[:n]
+    preds = (rng.randn(n, 4) * 0.2).astype(np.float32)
+    stds = np.abs(rng.randn(n, 4) * 0.1).astype(np.float32) + 0.01
+    return preds, stds, anchors
+
+
+def test_lnorm_matches_monte_carlo():
+    """Closed-form l-norm moments must match brute-force sampling."""
+    preds, stds, anchors = _setup(n=50)
+    boxes, sigma = unc.decode_uncert(preds, stds, anchors, method="l-norm")
+
+    # Brute force: sample (ty,tx,th,tw) ~ N(pred, std), decode, take moments.
+    rng = np.random.RandomState(0)
+    S = 100_000
+    t = preds[None] + rng.randn(S, *preds.shape).astype(np.float32) * stds[None]
+    ya = (anchors[:, 0] + anchors[:, 2]) / 2
+    xa = (anchors[:, 1] + anchors[:, 3]) / 2
+    ha = anchors[:, 2] - anchors[:, 0]
+    wa = anchors[:, 3] - anchors[:, 1]
+    h = np.exp(t[..., 2]) * ha
+    w = np.exp(t[..., 3]) * wa
+    yc = t[..., 0] * ha + ya
+    xc = t[..., 1] * wa + xa
+    corners = np.stack([yc - h / 2, xc - w / 2, yc + h / 2, xc + w / 2], axis=-1)
+    mc_mean = corners.mean(axis=0)
+    mc_std = corners.std(axis=0)
+
+    # MC standard error with S samples bounds the achievable tolerance.
+    se = mc_std / np.sqrt(S)
+    np.testing.assert_allclose(np.asarray(boxes), mc_mean, atol=np.maximum(6 * se, 1e-2).max())
+    np.testing.assert_allclose(np.asarray(sigma), mc_std, rtol=0.05, atol=5e-2)
+
+
+def test_nflow_equals_lnorm():
+    preds, stds, anchors = _setup()
+    b1, s1 = unc.decode_uncert(preds, stds, anchors, method="l-norm")
+    b2, s2 = unc.decode_uncert(preds, stds, anchors, method="n-flow")
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_sample_method_converges_to_lnorm():
+    preds, stds, anchors = _setup(n=100)
+    b_cf, s_cf = unc.decode_uncert(preds, stds, anchors, method="l-norm")
+    b_s, s_s = unc.decode_uncert(preds, stds, anchors, method="sample",
+                                 n_samples=50_000, key=jax.random.PRNGKey(3))
+    scale = np.maximum(np.abs(np.asarray(b_cf)), 1.0)
+    np.testing.assert_allclose(np.asarray(b_s) / scale, np.asarray(b_cf) / scale,
+                               atol=8e-2)
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_cf), rtol=0.1, atol=0.1)
+
+
+def test_zero_uncert_reduces_to_plain_decode():
+    preds, _, anchors = _setup()
+    zeros = np.zeros_like(preds)
+    boxes, sigma = unc.decode_uncert(preds, zeros, anchors, method="l-norm")
+    plain = anchor_lib.decode_box_outputs(preds, anchors)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(plain), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sigma), 0.0, atol=1e-4)
+
+
+def test_decode_uncert_parity_with_reference():
+    """Check l-norm + falsedec against the reference TF implementation."""
+    from tests.reference_util import import_reference
+    pytest.importorskip("tensorflow_probability")
+    ref = import_reference("utils_box")
+    import tensorflow as tf
+
+    preds, stds, anchors = _setup()
+    for method in ("l-norm", "falsedec"):
+        rb, rs = ref.decode_uncert(tf.constant(preds), tf.constant(stds),
+                                   tf.constant(anchors), method=method)
+        ob, os_ = unc.decode_uncert(preds, stds, anchors, method=method)
+        np.testing.assert_allclose(np.asarray(ob), rb.numpy(), rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(os_), rs.numpy(), rtol=1e-3, atol=1e-2)
+
+
+def test_relativize_uncert():
+    boxes = np.array([[0.0, 0.0, 10.0, 20.0]], np.float32)
+    sig = np.array([[1.0, 2.0, 3.0, 4.0]], np.float32)
+    rel = unc.relativize_uncert(boxes, sig)
+    np.testing.assert_allclose(np.asarray(rel), [[0.1, 0.1, 0.3, 0.2]])
+
+
+def test_mc_moments():
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 8, 4).astype(np.float32)
+    mean, std = unc.mc_moments(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(mean), x.mean(0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std), x.std(0), atol=1e-5)
+
+
+def test_entropy_from_logits():
+    logits = np.array([[0.0, 0.0, 0.0, 0.0]], np.float32)
+    ent = unc.entropy_from_logits(logits)
+    np.testing.assert_allclose(np.asarray(ent), np.log(4.0), rtol=1e-5)
