@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from udal_tpu.config import get_detection_config
+from udal_tpu.train import losses as loss_lib
+
+
+def test_huber_matches_tf():
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.RandomState(0)
+    t = rng.randn(32, 4).astype(np.float32)
+    p = rng.randn(32, 4).astype(np.float32)
+    ours = np.asarray(loss_lib.huber(t, p, 0.1))
+    h = tf.keras.losses.Huber(0.1, reduction="none")
+    # Keras Huber averages the last axis
+    ref = h(t[..., None], p[..., None]).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_focal_loss_matches_reference_formula():
+    rng = np.random.RandomState(1)
+    y = (rng.rand(8, 4, 4, 18) > 0.9).astype(np.float32)
+    logits = rng.randn(8, 4, 4, 18).astype(np.float32)
+    alpha, gamma, norm = 0.25, 1.5, 10.0
+    ours = np.asarray(loss_lib.focal_loss(y, logits, alpha, gamma, norm))
+
+    prob = 1 / (1 + np.exp(-logits))
+    p_t = y * prob + (1 - y) * (1 - prob)
+    af = y * alpha + (1 - y) * (1 - alpha)
+    mod = (1 - p_t) ** gamma
+    ce = np.maximum(logits, 0) - logits * y + np.log1p(np.exp(-np.abs(logits)))
+    expected = af * mod * ce / norm
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_box_loss_plain_and_attenuated():
+    rng = np.random.RandomState(2)
+    tgt = rng.randn(2, 4, 4, 36).astype(np.float32)
+    tgt[rng.rand(*tgt.shape) < 0.5] = 0.0  # sparsify like real targets
+    out = rng.randn(2, 4, 4, 36).astype(np.float32)
+    plain = float(loss_lib.box_loss(tgt, out, jnp.asarray(5.0)))
+    assert np.isfinite(plain) and plain > 0
+
+    out_att = np.concatenate([out, np.abs(rng.randn(2, 4, 4, 36)) + 0.1],
+                             axis=-1).astype(np.float32)
+    att = float(loss_lib.box_loss(tgt, out_att, jnp.asarray(5.0),
+                                  loss_att=True))
+    assert np.isfinite(att)
+
+
+def test_box_loss_attenuation_reduces_weight_of_large_errors():
+    """With a large squared error, higher sigma must attenuate the loss
+    (1/sigma^2 error weighting dominates the log penalty)."""
+    tgt = np.ones((1, 1, 1, 4), np.float32)
+    mu = np.zeros((1, 1, 1, 4), np.float32)
+    low_sigma = np.full((1, 1, 1, 4), 0.5, np.float32)
+    high_sigma = np.full((1, 1, 1, 4), 2.0, np.float32)
+    lo = float(loss_lib.box_loss(tgt, np.concatenate([mu, low_sigma], -1),
+                                 jnp.asarray(1.0), loss_att=True,
+                                 loss_type="mse"))
+    hi = float(loss_lib.box_loss(tgt, np.concatenate([mu, high_sigma], -1),
+                                 jnp.asarray(1.0), loss_att=True,
+                                 loss_type="mse"))
+    assert hi < lo
+
+
+def test_detection_loss_end_to_end_shapes():
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = 64
+    cfg.num_classes = 8
+    rng = np.random.RandomState(3)
+    levels = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+    cls_outputs = [jnp.asarray(rng.randn(2, h, w, 9 * 8), jnp.float32)
+                   for h, w in levels]
+    box_outputs = [jnp.asarray(rng.randn(2, h, w, 36), jnp.float32)
+                   for h, w in levels]
+    labels = {"mean_num_positives": jnp.asarray([3.0, 3.0])}
+    for i, (h, w) in enumerate(levels):
+        level = i + 3
+        ct = rng.randint(-1, 8, (2, h, w, 9))
+        labels[f"cls_targets_{level}"] = jnp.asarray(ct, jnp.int32)
+        bt = rng.randn(2, h, w, 36) * (rng.rand(2, h, w, 36) > 0.8)
+        labels[f"box_targets_{level}"] = jnp.asarray(bt, jnp.float32)
+    total, vals = loss_lib.detection_loss(cfg, cls_outputs, box_outputs, labels)
+    assert np.isfinite(float(total))
+    assert set(vals) >= {"det_loss", "cls_loss", "box_loss"}
+
+
+def test_csd_consistency_zero_for_consistent_outputs():
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.num_classes = 8
+    cfg.csd_BE = False
+    rng = np.random.RandomState(4)
+    cls = [jnp.asarray(rng.randn(1, 4, 4, 72), jnp.float32)]
+    box = [jnp.asarray(rng.randn(1, 4, 4, 36), jnp.float32)]
+    # construct perfectly flip-consistent aug outputs
+    cls_aug = [jnp.flip(cls[0], axis=2)]
+    sign = jnp.tile(jnp.asarray([1.0, -1.0, 1.0, 1.0]), 9)
+    box_aug = [jnp.flip(box[0] * sign, axis=2)]
+    u_cls, u_box = loss_lib.csd_consistency_loss(cfg, cls, box, cls_aug, box_aug)
+    np.testing.assert_allclose(float(u_cls), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(u_box), 0.0, atol=1e-10)
+
+
+def test_l2_regularization_excludes_bn_and_bias():
+    params = {
+        "conv": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+        "bn": {"scale": jnp.ones((2,)), "bias": jnp.ones((2,))},
+    }
+    reg = float(loss_lib.l2_regularization(params, 2.0))
+    assert reg == pytest.approx(4.0)  # only conv kernel: 2.0 * 4 / 2

@@ -1,0 +1,277 @@
+"""BiFPN feature network in flax.linen.
+
+Behavioral parity with the reference Keras BiFPN
+(`/root/reference/src/efficientdet_keras.py:51-348`, graph topology
+`src/fpn_configs.py:27-79`): weighted bidirectional fusion (attn / fastattn /
+channel_attn / channel_fastattn / sum), 1x1-conv+BN channel resampling,
+max-pool downsampling, nearest-neighbor upsampling, separable 3x3 conv after
+each fusion.
+
+TPU-first: pure functional graph over a list of feature maps — XLA fuses the
+edge-weight normalization and nearest-resize into neighboring convs; static
+shapes per level come from the config so everything tiles onto the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from udal_tpu.models.efficientnet import BatchNorm, activation_fn, conv_kernel_init
+
+
+def bifpn_topology(min_level: int, max_level: int) -> List[Dict[str, Any]]:
+    """BiFPN node list: top-down path then bottom-up path.
+
+    Each node: {'feat_level': L, 'inputs_offsets': [...]} where offsets index
+    the growing list of feature maps (inputs first, then created nodes) —
+    identical contract to `fpn_configs.bifpn_config` (`fpn_configs.py:27-79`).
+    """
+    num_levels = max_level - min_level + 1
+    node_ids = {min_level + i: [i] for i in range(num_levels)}
+    id_cnt = itertools.count(num_levels)
+    nodes = []
+    for i in range(max_level - 1, min_level - 1, -1):
+        nodes.append({"feat_level": i,
+                      "inputs_offsets": [node_ids[i][-1], node_ids[i + 1][-1]]})
+        node_ids[i].append(next(id_cnt))
+    for i in range(min_level + 1, max_level + 1):
+        nodes.append({"feat_level": i,
+                      "inputs_offsets": node_ids[i][:] + [node_ids[i - 1][-1]]})
+        node_ids[i].append(next(id_cnt))
+    return nodes
+
+
+def nearest_upsample(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
+    """Nearest-neighbor resize to (target_h, target_w).
+
+    For the usual integer-ratio pyramid this is a reshape+broadcast (cheap on
+    TPU); falls back to gather-based resize for odd sizes, matching TF's
+    resize_nearest_neighbor index math (floor of scaled index).
+    """
+    b, h, w, c = x.shape
+    if target_h % h == 0 and target_w % w == 0:
+        ry, rx = target_h // h, target_w // w
+        x = x[:, :, None, :, None, :]
+        x = jnp.broadcast_to(x, (b, h, ry, w, rx, c))
+        return x.reshape(b, target_h, target_w, c)
+    # TF nearest (half_pixel_centers=False): src = floor(dst * scale)
+    ys = jnp.floor(jnp.arange(target_h) * (h / target_h)).astype(jnp.int32)
+    xs = jnp.floor(jnp.arange(target_w) * (w / target_w)).astype(jnp.int32)
+    return x[:, ys][:, :, xs]
+
+
+def max_pool_downsample(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
+    """SAME max-pool with stride chosen to hit the target size.
+
+    Parity: `efficientdet_keras.py:282-296` (_pool2d with kernel stride+1).
+    """
+    h, w = x.shape[1], x.shape[2]
+    sh = int((h - 1) // target_h + 1)
+    sw = int((w - 1) // target_w + 1)
+    return nn.max_pool(x, (sh + 1, sw + 1), strides=(sh, sw), padding="SAME")
+
+
+class ResampleFeatureMap(nn.Module):
+    """Match a feature map to (target_h, target_w, target_channels)."""
+    target_num_channels: int
+    apply_bn: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, target_h: int, target_w: int, train: bool):
+        h, w, c = x.shape[1], x.shape[2], x.shape[3]
+
+        def maybe_1x1(feat):
+            if c != self.target_num_channels:
+                feat = nn.Conv(self.target_num_channels, (1, 1), padding="SAME",
+                               dtype=self.dtype, name="conv1x1")(feat)
+                if self.apply_bn:
+                    feat = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                                     name="bn")(feat, train)
+            return feat
+
+        if h > target_h and w > target_w:
+            x = maybe_1x1(x)
+            x = max_pool_downsample(x, target_h, target_w)
+        elif h <= target_h and w <= target_w:
+            x = maybe_1x1(x)
+            if h < target_h or w < target_w:
+                x = nearest_upsample(x, target_h, target_w)
+        else:
+            raise ValueError(f"Incompatible resample {h}x{w} -> {target_h}x{target_w}")
+        return x
+
+
+class SeparableConv(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1 (Keras SeparableConv2D equivalent)."""
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    depthwise_init: Any = conv_kernel_init
+    pointwise_init: Any = conv_kernel_init
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        x = nn.Conv(c, (self.kernel_size, self.kernel_size), padding="SAME",
+                    feature_group_count=c, use_bias=False,
+                    kernel_init=self.depthwise_init, dtype=self.dtype,
+                    name="depthwise")(x)
+        x = nn.Conv(self.features, (1, 1), padding="SAME", use_bias=self.use_bias,
+                    kernel_init=self.pointwise_init, bias_init=self.bias_init,
+                    dtype=self.dtype, name="pointwise")(x)
+        return x
+
+
+def fuse_features(nodes: Sequence[jnp.ndarray], weights: Optional[jnp.ndarray],
+                  weight_method: str) -> jnp.ndarray:
+    """Weighted feature fusion — parity `efficientdet_keras.py:86-128`."""
+    dtype = nodes[0].dtype
+    if weight_method == "attn":
+        norm = jax.nn.softmax(weights.astype(dtype))
+        return sum(n * norm[i] for i, n in enumerate(nodes))
+    if weight_method == "fastattn":
+        w = jax.nn.relu(weights.astype(dtype))
+        total = jnp.sum(w) + 1e-4
+        return sum(n * (w[i] / total) for i, n in enumerate(nodes))
+    if weight_method == "channel_attn":
+        norm = jax.nn.softmax(weights.astype(dtype), axis=-1)  # [C, E]
+        return sum(n * norm[:, i] for i, n in enumerate(nodes))
+    if weight_method == "channel_fastattn":
+        w = jax.nn.relu(weights.astype(dtype))
+        total = jnp.sum(w, axis=-1, keepdims=False) + 1e-4     # [C]
+        return sum(n * (w[:, i] / total) for i, n in enumerate(nodes))
+    if weight_method == "sum":
+        out = nodes[0]
+        for n in nodes[1:]:
+            out = out + n
+        return out
+    raise ValueError(f"unknown weight_method {weight_method!r}")
+
+
+class FNode(nn.Module):
+    """One BiFPN node: resample inputs → weighted fuse → act+sepconv+BN."""
+    feat_level_hw: Tuple[int, int]
+    num_inputs: int
+    fpn_num_filters: int
+    weight_method: str = "fastattn"
+    act_type: str = "swish"
+    conv_bn_act_pattern: bool = False
+    separable_conv: bool = True
+    apply_bn_for_resampling: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray], train: bool):
+        th, tw = self.feat_level_hw
+        resampled = []
+        for i, feat in enumerate(inputs):
+            resampled.append(ResampleFeatureMap(
+                self.fpn_num_filters, self.apply_bn_for_resampling,
+                self.bn_axis_name, self.dtype, name=f"resample_{i}")(
+                feat, th, tw, train))
+
+        if self.weight_method in ("attn", "fastattn"):
+            weights = self.param("edge_weights", nn.initializers.ones,
+                                 (self.num_inputs,))
+        elif self.weight_method in ("channel_attn", "channel_fastattn"):
+            weights = self.param("edge_weights", nn.initializers.ones,
+                                 (self.fpn_num_filters, self.num_inputs))
+        else:
+            weights = None
+        new_node = fuse_features(resampled, weights, self.weight_method)
+
+        act = activation_fn(self.act_type)
+        if not self.conv_bn_act_pattern:
+            new_node = act(new_node)
+        if self.separable_conv:
+            new_node = SeparableConv(self.fpn_num_filters,
+                                     use_bias=not self.conv_bn_act_pattern,
+                                     dtype=self.dtype, name="conv")(new_node)
+        else:
+            new_node = nn.Conv(self.fpn_num_filters, (3, 3), padding="SAME",
+                               use_bias=not self.conv_bn_act_pattern,
+                               dtype=self.dtype, name="conv")(new_node)
+        new_node = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                             name="bn")(new_node, train)
+        if self.conv_bn_act_pattern:
+            new_node = act(new_node)
+        return new_node
+
+
+class FPNCell(nn.Module):
+    """One repeat of the BiFPN graph."""
+    min_level: int
+    max_level: int
+    feat_hw: Tuple[Tuple[int, int], ...]   # (h, w) per level min..max
+    fpn_num_filters: int
+    weight_method: str = "fastattn"
+    act_type: str = "swish"
+    conv_bn_act_pattern: bool = False
+    separable_conv: bool = True
+    apply_bn_for_resampling: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], train: bool):
+        nodes = bifpn_topology(self.min_level, self.max_level)
+        all_feats = list(feats)
+        for i, node in enumerate(nodes):
+            hw = self.feat_hw[node["feat_level"] - self.min_level]
+            new_node = FNode(hw, len(node["inputs_offsets"]),
+                             self.fpn_num_filters, self.weight_method,
+                             self.act_type, self.conv_bn_act_pattern,
+                             self.separable_conv, self.apply_bn_for_resampling,
+                             self.bn_axis_name, self.dtype, name=f"fnode{i}")(
+                [all_feats[o] for o in node["inputs_offsets"]], train)
+            all_feats.append(new_node)
+
+        # Output per level: the last created node at that level
+        # (parity with `FPNCells.call`, `efficientdet_keras.py:788-800`).
+        num_levels = self.max_level - self.min_level + 1
+        outputs = []
+        for level in range(self.min_level, self.max_level + 1):
+            for i, node in enumerate(reversed(nodes)):
+                if node["feat_level"] == level:
+                    outputs.append(all_feats[-1 - i])
+                    break
+        assert len(outputs) == num_levels
+        return outputs
+
+
+class FPNCells(nn.Module):
+    """Stack of `fpn_cell_repeats` BiFPN cells."""
+    min_level: int
+    max_level: int
+    feat_hw: Tuple[Tuple[int, int], ...]
+    fpn_num_filters: int
+    fpn_cell_repeats: int
+    weight_method: str = "fastattn"
+    act_type: str = "swish"
+    conv_bn_act_pattern: bool = False
+    separable_conv: bool = True
+    apply_bn_for_resampling: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], train: bool):
+        for rep in range(self.fpn_cell_repeats):
+            feats = FPNCell(self.min_level, self.max_level, self.feat_hw,
+                            self.fpn_num_filters, self.weight_method,
+                            self.act_type, self.conv_bn_act_pattern,
+                            self.separable_conv, self.apply_bn_for_resampling,
+                            self.bn_axis_name, self.dtype,
+                            name=f"cell_{rep}")(feats, train)
+        return feats

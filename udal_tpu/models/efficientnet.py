@@ -218,10 +218,16 @@ def spatial_dropout(module: nn.Module, x: jnp.ndarray, rate: float,
 
     Mirrors Keras SpatialDropout2D(training=True) used for MC-dropout
     (`efficientnet_model.py:453-463`): entire feature maps are dropped.
+    Implemented inline (no submodule) so it works in setup-style methods;
+    the mask broadcasts over H, W — one bernoulli per (batch, channel).
     """
     if rate <= 0.0 or not active:
         return x
-    return nn.Dropout(rate=rate, broadcast_dims=(1, 2), deterministic=False)(x)
+    rng = module.make_rng("dropout")
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    mask = jax.random.bernoulli(rng, keep, mask_shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
 def drop_connect(x: jnp.ndarray, rng, survival_prob: float) -> jnp.ndarray:

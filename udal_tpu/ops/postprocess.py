@@ -1,0 +1,312 @@
+"""On-device detection post-processing with uncertainty extraction.
+
+TPU-native redesign of the reference pipeline
+(`/root/reference/src/postprocess.py:75-621`). The reference handles four
+output modes (det / loss-attenuation / MC / LA+MC) with per-mode Python
+branching, per-image `batch_map_fn` NMS, and batch-size-1 special cases
+(`postprocess.py:177-331`). Here every mode flows through ONE canonical
+layout:
+
+    cls: [T?, B, N, num_classes]   box mu/sigma: [T?, B, N, 4]
+
+with the optional MC sample axis T handled by `vmap`; sample reductions
+(mean box / epistemic std / mean logits / logit std) are fused HBM
+reductions, and NMS is the fixed-shape batched kernel in `nms.py`. Output
+packing matches the reference contract exactly
+(boxes ⊕ sigma_al ⊕ sigma_mc in the box tensor, class ⊕ sigma_cls in the
+class tensor, optional logits — `postprocess.py:591-621`) so downstream
+artifacts are interchangeable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from udal_tpu.ops import anchors as anchor_lib
+from udal_tpu.ops import nms as nms_lib
+from udal_tpu.ops.uncertainty import decode_uncert, mc_moments
+
+CLASS_OFFSET = 1  # background is class 0 in the label map
+MAX_DETECTION_POINTS = anchor_lib.MAX_DETECTION_POINTS
+
+
+@dataclasses.dataclass
+class Detections:
+    """Structured detection results (all fixed shape, batch leading)."""
+    boxes: jnp.ndarray                 # [B, K, 4] y1x1y2x2, input-image pixels
+    scores: jnp.ndarray                # [B, K]
+    classes: jnp.ndarray               # [B, K] float, CLASS_OFFSET applied
+    valid_len: jnp.ndarray             # [B]
+    sigma_al: Optional[jnp.ndarray] = None    # [B, K, 4] aleatoric box std
+    sigma_mc: Optional[jnp.ndarray] = None    # [B, K, 4] epistemic box std
+    sigma_cls: Optional[jnp.ndarray] = None   # [B, K, C] class-logit std
+    logits: Optional[jnp.ndarray] = None      # [B, K, C]
+
+    def packed(self) -> Tuple[jnp.ndarray, ...]:
+        """Reference-format packed tuple (`postprocess.py:591-621`)."""
+        boxes = self.boxes
+        classes = self.classes
+        if self.sigma_cls is not None:
+            classes = jnp.concatenate([classes[..., None], self.sigma_cls], axis=-1)
+        if self.sigma_al is not None:
+            boxes = jnp.concatenate([boxes, self.sigma_al], axis=-1)
+        if self.sigma_mc is not None:
+            boxes = jnp.concatenate([boxes, self.sigma_mc], axis=-1)
+        out = [boxes, self.scores, classes, self.valid_len]
+        if self.logits is not None:
+            out.append(self.logits)
+        return tuple(out)
+
+
+def merge_levels(outputs: Sequence[jnp.ndarray], channels: int) -> jnp.ndarray:
+    """Concat per-level maps [..., H, W, A*channels] → [..., N, channels].
+
+    Parity: `merge_class_box_level_outputs` (`postprocess.py:75-88`), but
+    works with any leading axes (batch, MC-sample).
+    """
+    merged = []
+    for level_out in outputs:
+        lead = level_out.shape[:-3]
+        merged.append(level_out.reshape(lead + (-1, channels)))
+    return jnp.concatenate(merged, axis=-2)
+
+
+def split_loss_attenuation(box_outputs: Sequence[jnp.ndarray]
+                           ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Split 8·A box channels into per-anchor (mu, sigma) halves.
+
+    Parity: `extract_uncertainties` (`postprocess.py:448-460`).
+    """
+    mus, sigmas = [], []
+    for o in box_outputs:
+        half = o.shape[-1] // 2
+        mus.append(o[..., :half])
+        sigmas.append(o[..., half:])
+    return mus, sigmas
+
+
+def topk_select(cls_outputs: jnp.ndarray, max_nms_inputs: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pre-NMS candidate selection — parity `topk_class_boxes`
+    (`postprocess.py:90-141`).
+
+    Args:
+      cls_outputs: [B, N, C] class logits.
+      max_nms_inputs: if > 0, global top-k over (anchor, class) pairs;
+        else per-anchor max-class reduction (keeps all anchors).
+
+    Returns:
+      (scores_logits [B, M], classes [B, M] int32, anchor_indices [B, M]).
+    """
+    b, n, c = cls_outputs.shape
+    if max_nms_inputs > 0:
+        flat = cls_outputs.reshape(b, -1)
+        top_vals, top_idx = jax.lax.top_k(flat, max_nms_inputs)
+        indices = top_idx // c
+        classes = top_idx % c
+        return top_vals, classes.astype(jnp.int32), indices.astype(jnp.int32)
+    classes = jnp.argmax(cls_outputs, axis=-1).astype(jnp.int32)
+    scores = jnp.max(cls_outputs, axis=-1)
+    indices = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    return scores, classes, indices
+
+
+def _gather_anchors(anchor_boxes: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(anchor_boxes, indices, axis=0)
+
+
+def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
+    """Merge levels, select candidates, decode boxes + uncertainties.
+
+    Args:
+      config: detection Config.
+      cls_outputs / box_outputs: per-level lists, each [B, H, W, ...] or
+        [T, B, H, W, ...] when MC sampling is active.
+      pre_nms_topk: cap on NMS candidates (0 → reference behavior:
+        `nms_configs.max_nms_inputs`, falling back to all anchors).
+
+    Returns a dict with canonical [B, M, ...] tensors:
+      boxes, scores(logits), classes, indices, sigma_al?, sigma_mc?,
+      sigma_cls?, logits_mean?
+    """
+    anchors = anchor_lib.from_config(config)
+    num_classes = config.num_classes
+    loss_att = bool(config.loss_attenuation)
+    mc_cls = bool(config.mc_dropout) and bool(config.mc_classheadrate or
+                                              config.mc_dropoutrate)
+    mc_box = bool(config.mc_dropout) and bool(config.mc_boxheadrate or
+                                              config.mc_dropoutrate)
+
+    sigma_al_lvl = None
+    if loss_att:
+        box_outputs, sigma_al_lvl = split_loss_attenuation(box_outputs)
+
+    cls_all = merge_levels(cls_outputs, num_classes)       # [T?, B, N, C]
+    box_all = merge_levels(box_outputs, 4)                 # [T?, B, N, 4]
+    sigma_al = merge_levels(sigma_al_lvl, 4) if loss_att else None
+
+    sigma_cls = None
+    if mc_cls:
+        cls_all, sigma_cls = mc_moments(cls_all)           # reduce T axis
+
+    max_nms_inputs = pre_nms_topk or config.nms_configs.get("max_nms_inputs", 0)
+    scores_logits, classes, indices = topk_select(cls_all, max_nms_inputs)
+    gather = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))
+
+    # gather candidate anchors per image
+    anchor_sel = jax.vmap(lambda i: jnp.take(anchors.boxes, i, axis=0))(indices)
+
+    def sel(t):
+        """Gather candidate anchors from [T?, B, N, k] along N."""
+        if t is None:
+            return None
+        if t.ndim == indices.ndim + 1:      # [B, N, k]
+            return gather(t, indices)
+        return jax.vmap(gather, in_axes=(0, None))(t, indices)   # [T, B, N, k]
+
+    box_sel = sel(box_all)
+    sigma_al_sel = sel(sigma_al)
+    sigma_cls_sel = sel(sigma_cls)
+    logits_sel = sel(cls_all) if config.enable_softmax else None
+
+    sigma_mc = None
+    method = config.uncert_adjust_method
+    if loss_att and not mc_box:
+        boxes, sigma_al_out = decode_uncert(box_sel, sigma_al_sel, anchor_sel,
+                                            method=method,
+                                            n_samples=config.decode_nsamples)
+    elif mc_box and loss_att:
+        dec = jax.vmap(lambda m, s: decode_uncert(
+            m, s, anchor_sel, method=method,
+            n_samples=config.decode_nsamples))(box_sel, sigma_al_sel)
+        boxes_t, sig_t = dec                                  # [T, B, M, 4]
+        boxes, sigma_mc = mc_moments(boxes_t)
+        sigma_al_out = jnp.mean(sig_t, axis=0)
+    elif mc_box:
+        boxes_t = jax.vmap(lambda m: anchor_lib.decode_box_outputs(
+            m, anchor_sel))(box_sel)
+        boxes, sigma_mc = mc_moments(boxes_t)
+        sigma_al_out = None
+    else:
+        boxes = anchor_lib.decode_box_outputs(box_sel, anchor_sel)
+        sigma_al_out = None
+
+    return dict(boxes=boxes, scores_logits=scores_logits, classes=classes,
+                indices=indices, sigma_al=sigma_al_out, sigma_mc=sigma_mc,
+                sigma_cls=sigma_cls_sel, logits=logits_sel)
+
+
+def postprocess_global(config, cls_outputs, box_outputs, image_scales=None,
+                       pre_nms_topk: int = 0) -> Detections:
+    """Full global-NMS post-processing — parity `postprocess_global`
+    (`postprocess.py:472-621`), one fused jittable program."""
+    pn = pre_nms(config, cls_outputs, box_outputs, pre_nms_topk)
+    scores = jax.nn.sigmoid(pn["scores_logits"])
+
+    iou_thr, score_thr, sigma = nms_lib.nms_from_config(
+        config.nms_configs if isinstance(config.nms_configs, dict)
+        else config.nms_configs.as_dict())
+    k = (config.nms_configs.get("max_output_size") or 100)
+
+    res = nms_lib.batched_soft_nms(pn["boxes"], scores, k, iou_thr, score_thr,
+                                   sigma)
+    gather = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))
+    boxes = gather(pn["boxes"], res.indices)
+    classes = gather(pn["classes"], res.indices).astype(boxes.dtype) + CLASS_OFFSET
+    valid_mask = res.valid
+
+    def gather_opt(t):
+        return gather(t, res.indices) if t is not None else None
+
+    sigma_al = gather_opt(pn["sigma_al"])
+    sigma_mc = gather_opt(pn["sigma_mc"])
+    sigma_cls = gather_opt(pn["sigma_cls"])
+    logits = gather_opt(pn["logits"])
+
+    # clip to input resolution then scale back to the original image
+    h, w = anchor_lib.from_config(config).image_size
+    boxes = jnp.clip(boxes, jnp.zeros((4,), boxes.dtype),
+                     jnp.asarray([h, w, h, w], boxes.dtype))
+    if image_scales is not None:
+        s = jnp.asarray(image_scales)[:, None, None].astype(boxes.dtype)
+        boxes = boxes * s
+        if sigma_al is not None:
+            sigma_al = sigma_al * s
+        if sigma_mc is not None:
+            sigma_mc = sigma_mc * s
+
+    # zero out invalid slots for determinism
+    m = valid_mask[..., None].astype(boxes.dtype)
+    boxes = boxes * m
+    scores_out = res.scores * valid_mask.astype(boxes.dtype)
+    classes = classes * m[..., 0]
+
+    return Detections(boxes=boxes, scores=scores_out, classes=classes,
+                      valid_len=res.valid_len,
+                      sigma_al=None if sigma_al is None else sigma_al * m,
+                      sigma_mc=None if sigma_mc is None else sigma_mc * m,
+                      sigma_cls=None if sigma_cls is None else
+                      sigma_cls * m,
+                      logits=logits)
+
+
+def per_class_nms(config, cls_outputs, box_outputs, image_scales=None,
+                  pre_nms_topk: int = 0) -> Detections:
+    """Per-class NMS — parity `postprocess_per_class`
+    (`postprocess.py:624-740`): candidates are offset per class so NMS never
+    suppresses across classes, implemented by shifting boxes by
+    class_id * image_diagonal (a classic fixed-shape trick)."""
+    pn = pre_nms(config, cls_outputs, box_outputs,
+                 pre_nms_topk or MAX_DETECTION_POINTS)
+    scores = jax.nn.sigmoid(pn["scores_logits"])
+
+    h, w = anchor_lib.from_config(config).image_size
+    offset = float(max(h, w)) * 2.0
+    shifted = pn["boxes"] + (pn["classes"][..., None].astype(pn["boxes"].dtype)
+                             * offset)
+
+    iou_thr, score_thr, sigma = nms_lib.nms_from_config(
+        config.nms_configs if isinstance(config.nms_configs, dict)
+        else config.nms_configs.as_dict())
+    k = (config.nms_configs.get("max_output_size") or 100)
+    res = nms_lib.batched_soft_nms(shifted, scores, k, iou_thr, score_thr, sigma)
+
+    gather = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))
+    boxes = gather(pn["boxes"], res.indices)
+    classes = gather(pn["classes"], res.indices).astype(boxes.dtype) + CLASS_OFFSET
+
+    def gather_opt(t):
+        return gather(t, res.indices) if t is not None else None
+
+    boxes = jnp.clip(boxes, jnp.zeros((4,), boxes.dtype),
+                     jnp.asarray([h, w, h, w], boxes.dtype))
+    if image_scales is not None:
+        s = jnp.asarray(image_scales)[:, None, None].astype(boxes.dtype)
+        boxes = boxes * s
+    m = res.valid[..., None].astype(boxes.dtype)
+    return Detections(boxes=boxes * m, scores=res.scores * m[..., 0],
+                      classes=classes * m[..., 0], valid_len=res.valid_len,
+                      sigma_al=gather_opt(pn["sigma_al"]),
+                      sigma_mc=gather_opt(pn["sigma_mc"]),
+                      sigma_cls=gather_opt(pn["sigma_cls"]),
+                      logits=gather_opt(pn["logits"]))
+
+
+def generate_detections(config, cls_outputs, box_outputs, image_scales,
+                        image_ids, pre_nms_topk: int = 0) -> jnp.ndarray:
+    """[B, K, 7] rows of [image_id, x, y, w, h, score, class].
+
+    Parity: `postprocess.py:788-871` (generate_detections +
+    transform_detections).
+    """
+    det = postprocess_global(config, cls_outputs, box_outputs, image_scales,
+                             pre_nms_topk)
+    ymin, xmin, ymax, xmax = jnp.moveaxis(det.boxes, -1, 0)
+    ids = jnp.asarray(image_ids, det.boxes.dtype)[:, None] * \
+        jnp.ones_like(det.scores)
+    return jnp.stack([ids, xmin, ymin, xmax - xmin, ymax - ymin,
+                      det.scores, det.classes], axis=-1)

@@ -1,0 +1,240 @@
+"""SPMD training runtime: TrainState + pure jittable train/eval steps.
+
+TPU-native redesign of the reference training loop
+(`/root/reference/src/train_lib.py:1588-1866`, `train_flags.py:344-517`):
+the Keras `train_step` method becomes a pure function jitted once over a
+`jax.sharding.Mesh`; gradients all-reduce over ICI automatically (GSPMD),
+replacing `strategy.run` + `ReduceOp.SUM` (`train_flags.py:344-351`).
+
+Covers: plain detection training, loss-attenuation uncertainty clipping,
+STAC labeled/pseudo batch splits with per-image pseudo-score weighting, CSD
+flip-consistency, segmentation head loss, L2 regularization, per-tensor +
+global gradient clipping, parameter EMA (MovingAverage parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from udal_tpu.models.efficientdet import EfficientDetNet
+from udal_tpu.train import losses as loss_lib
+from udal_tpu.train.schedules import clip_gradients, make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any = None
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def create_train_state(config, rng: jax.Array, steps_per_epoch: int,
+                       image_shape: Optional[Tuple[int, int]] = None
+                       ) -> Tuple[EfficientDetNet, TrainState,
+                                  optax.GradientTransformation, Any]:
+    """Initialize model variables + optimizer state."""
+    from udal_tpu.config import parse_image_size
+
+    model = EfficientDetNet(config)
+    h, w = image_shape or parse_image_size(config.image_size)
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init({"params": params_rng, "dropout": dropout_rng},
+                           dummy, train=False)
+    tx, schedule = make_optimizer(config, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        ema_params=(jax.tree_util.tree_map(jnp.copy, variables["params"])
+                    if config.moving_average_decay else None),
+    )
+    return model, state, tx, schedule
+
+
+def _forward(model, params, batch_stats, images, dropout_rng, train: bool):
+    outs, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats}, images, train=train,
+        mutable=["batch_stats"] if train else [],
+        rngs={"dropout": dropout_rng})
+    new_stats = mutated["batch_stats"] if train else batch_stats
+    return outs, new_stats
+
+
+def _split_levels(outputs, start: int, end: int):
+    """Slice the batch axis of every per-level map — parity
+    `_split_output_labels` (`train_lib.py:1074-1184`)."""
+    return [o[start:end] for o in outputs]
+
+
+def _split_labels(labels, start: int, end: int):
+    return {k: v[start:end] for k, v in labels.items()}
+
+
+def compute_loss(config, model, params, batch_stats, images, labels,
+                 dropout_rng, step: jnp.ndarray, steps_per_epoch: int):
+    """Forward + total loss; returns (loss, (aux dict, new batch_stats))."""
+    outs, new_stats = _forward(model, params, batch_stats, images, dropout_rng,
+                               train=True)
+    loss_vals: Dict[str, jnp.ndarray] = {}
+    idx = 0
+    if "object_detection" in config.heads:
+        cls_outputs, box_outputs = outs[0], outs[1]
+        idx = 2
+    if config.loss_attenuation:
+        box_outputs = [loss_lib.clip_uncert_channels(
+            b, config.clip_min_uncert, config.clip_max_uncert)
+            for b in box_outputs]
+
+    batch = images.shape[0]
+    unlabeled_start = int(config.get("unlabeled_start", batch) or batch)
+    ssl_method = config.get("ssl_method", None)
+
+    total = 0.0
+    gt = labels.get("groundtruth_data")
+    im_scores = None
+    if gt is not None and gt.shape[-1] > 7:
+        # last column carries per-image pseudo scores; average valid entries
+        scores_col = gt[:, :, -1]
+        valid = (scores_col >= 0).astype(scores_col.dtype)
+        im_scores = jnp.sum(scores_col * valid, 1) / jnp.maximum(
+            jnp.sum(valid, 1), 1.0)
+
+    if "object_detection" in config.heads:
+        if ssl_method == "CSD":
+            aug_images = jnp.flip(images, axis=2)
+            outs_aug, new_stats = model.apply(
+                {"params": params, "batch_stats": new_stats}, aug_images,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(dropout_rng, 1)})
+            outs_aug, new_stats = outs_aug, new_stats["batch_stats"]
+            cls_aug, box_aug = outs_aug[0], outs_aug[1]
+            if config.loss_attenuation:
+                box_mu = [b[..., : b.shape[-1] // 2] for b in box_outputs]
+                box_aug_mu = [b[..., : b.shape[-1] // 2] for b in box_aug]
+            else:
+                box_mu, box_aug_mu = box_outputs, box_aug
+            sup_loss, loss_vals = loss_lib.detection_loss(
+                config, _split_levels(cls_outputs, 0, unlabeled_start),
+                _split_levels(box_outputs, 0, unlabeled_start),
+                _split_labels(labels, 0, unlabeled_start))
+            u_cls, u_box = loss_lib.csd_consistency_loss(
+                config, cls_outputs, box_mu, cls_aug, box_aug_mu)
+            ramp = (loss_lib.csd_ramp_weight(
+                step, steps_per_epoch * config.num_epochs)
+                if config.get("csd_ramp") else 1.0)
+            total += sup_loss + ramp * (u_cls + u_box)
+            loss_vals.update(unsup_cls_loss=u_cls, unsup_box_loss=u_box,
+                             ramp_w=jnp.asarray(ramp))
+        elif ssl_method == "STAC":
+            sup_loss, loss_vals = loss_lib.detection_loss(
+                config, _split_levels(cls_outputs, 0, unlabeled_start),
+                _split_levels(box_outputs, 0, unlabeled_start),
+                _split_labels(labels, 0, unlabeled_start))
+            pseudo_scores = (im_scores[unlabeled_start:]
+                             if im_scores is not None else None)
+            pseudo_loss, pseudo_vals = loss_lib.detection_loss(
+                config, _split_levels(cls_outputs, unlabeled_start, batch),
+                _split_levels(box_outputs, unlabeled_start, batch),
+                _split_labels(labels, unlabeled_start, batch),
+                pseudo_scores=pseudo_scores)
+            loss_vals.update({f"pseudo_{k}": v for k, v in pseudo_vals.items()})
+            avg_batch = (jnp.mean(im_scores[:unlabeled_start])
+                         if im_scores is not None else 1.0)
+            avg_pseudo = (jnp.mean(pseudo_scores)
+                          if pseudo_scores is not None else 1.0)
+            stac_lambda = float(config.get("stac_lambda", 1.0) or 1.0)
+            total += sup_loss * avg_batch + stac_lambda * pseudo_loss * avg_pseudo
+        else:
+            det_loss, loss_vals = loss_lib.detection_loss(
+                config, cls_outputs, box_outputs, labels)
+            if im_scores is not None:
+                det_loss = det_loss * jnp.mean(im_scores)
+            total += det_loss
+
+    if "segmentation" in config.heads:
+        seg_outputs = outs[idx]
+        seg_labels = labels["image_masks"]
+        logp = jax.nn.log_softmax(seg_outputs, axis=-1)
+        seg_loss = -jnp.mean(jnp.take_along_axis(
+            logp, seg_labels[..., None].astype(jnp.int32), axis=-1))
+        loss_vals["seg_loss"] = seg_loss
+        total += seg_loss
+
+    reg = loss_lib.l2_regularization(params, config.weight_decay)
+    loss_vals["reg_l2_loss"] = reg
+    total = total + reg
+    loss_vals["loss"] = total
+    return total, (loss_vals, new_stats)
+
+
+def train_step(config, model, tx, schedule, steps_per_epoch: int,
+               state: TrainState, images, labels, rng: jax.Array
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One SPMD training step (pure; jit with static config/model/tx)."""
+    dropout_rng = jax.random.fold_in(rng, state.step)
+
+    grad_fn = jax.value_and_grad(
+        lambda p: compute_loss(config, model, p, state.batch_stats, images,
+                               labels, dropout_rng, state.step,
+                               steps_per_epoch), has_aux=True)
+    (_, (loss_vals, new_stats)), grads = grad_fn(state.params)
+
+    if config.clip_gradients_norm and config.clip_gradients_norm > 0:
+        grads, gnorm = clip_gradients(grads, abs(config.clip_gradients_norm))
+        loss_vals["gradient_norm"] = gnorm
+
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    ema = state.ema_params
+    if ema is not None:
+        d = config.moving_average_decay
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + p * (1.0 - d), ema, new_params)
+
+    loss_vals["learning_rate"] = schedule(state.step)
+    return state.replace(step=state.step + 1, params=new_params,
+                         batch_stats=new_stats, opt_state=new_opt,
+                         ema_params=ema), loss_vals
+
+
+def eval_step(config, model, state: TrainState, images, labels
+              ) -> Dict[str, jnp.ndarray]:
+    """Validation loss — parity `test_step` (`train_lib.py:1812-1866`)."""
+    outs = model.apply(state.variables, images, train=False)
+    cls_outputs, box_outputs = outs[0], outs[1]
+    if config.loss_attenuation:
+        box_outputs = [loss_lib.clip_uncert_channels(
+            b, config.clip_min_uncert, config.clip_max_uncert)
+            for b in box_outputs]
+    _, loss_vals = loss_lib.detection_loss(config, cls_outputs, box_outputs,
+                                           labels)
+    return {f"val_{k}": v for k, v in loss_vals.items()}
+
+
+def make_jitted_train_step(config, model, tx, schedule, steps_per_epoch: int,
+                           mesh=None):
+    """jit the train step; with a mesh, inputs are sharded over 'data'."""
+    step_fn = functools.partial(train_step, config, model, tx, schedule,
+                                steps_per_epoch)
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step_fn, donate_argnums=(0,),
+                   in_shardings=(repl, data, data, repl),
+                   out_shardings=(repl, repl))
