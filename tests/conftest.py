@@ -1,24 +1,23 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration: hermetic 8-device CPU mesh + compile cache.
 
-Must set XLA flags before jax initializes any backend.
+The session environment pins JAX to the tunneled TPU via an `axon`
+sitecustomize (PYTHONPATH) that registers the backend at interpreter start.
+Backends initialize lazily, so overriding `jax_platforms` plus XLA_FLAGS
+here — before any device is touched — still lands everything on a virtual
+8-device CPU platform.
 """
 
 import os
 
-# Hard override: the session env points JAX at the tunneled TPU ("axon");
-# unit tests must run on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 
-# Persistent XLA compile cache: model-sized CPU compiles take minutes; cache
-# them across test runs.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compile cache: model-sized compiles are cached across runs.
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
+                  os.path.expanduser("~/.cache/jax_cpu_comp_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,85 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from udal_tpu.config import get_detection_config
+from udal_tpu.data.labels import build_labels
+from udal_tpu.parallel.mesh import make_mesh, shard_batch
+from udal_tpu.train.train_lib import (create_train_state, eval_step,
+                                      make_jitted_train_step)
+
+
+def _setup(batch=2, **overrides):
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = 64
+    cfg.num_classes = 8
+    cfg.override({"batch_size": batch}, allow_new_keys=True)
+    for k, v in overrides.items():
+        cfg.override({k: v}, allow_new_keys=True)
+    model, state, tx, schedule = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=10)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(batch, 64, 64, 3), jnp.float32)
+    gt_boxes = np.zeros((batch, 5, 4), np.float32)
+    gt_classes = np.zeros((batch, 5), np.int32)
+    for b in range(batch):
+        for i in range(3):
+            y1, x1 = rng.uniform(0, 30, 2)
+            gt_boxes[b, i] = [y1, x1, y1 + rng.uniform(8, 30),
+                              x1 + rng.uniform(8, 30)]
+            gt_classes[b, i] = rng.randint(1, 8)
+    labels = build_labels(cfg, gt_boxes, gt_classes)
+    return cfg, model, state, tx, schedule, images, labels
+
+
+def test_train_step_runs_and_decreases_loss():
+    cfg, model, state, tx, schedule, images, labels = _setup()
+    step_fn = make_jitted_train_step(cfg, model, tx, schedule, 10)
+    rng = jax.random.PRNGKey(1)
+    state, vals = step_fn(state, images, labels, rng)
+    first = float(vals["loss"])
+    assert np.isfinite(first)
+    assert int(state.step) == 1
+    for _ in range(5):
+        state, vals = step_fn(state, images, labels, rng)
+    assert float(vals["loss"]) < first
+
+
+def test_train_step_loss_attenuation():
+    cfg, model, state, tx, schedule, images, labels = _setup(
+        loss_attenuation=True)
+    step_fn = make_jitted_train_step(cfg, model, tx, schedule, 10)
+    state, vals = step_fn(state, images, labels, jax.random.PRNGKey(1))
+    assert np.isfinite(float(vals["loss"]))
+
+
+def test_train_step_on_8_device_mesh():
+    cfg, model, state, tx, schedule, images, labels = _setup(batch=8)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    with mesh:
+        step_fn = make_jitted_train_step(cfg, model, tx, schedule, 10, mesh)
+        sharded = shard_batch(mesh, {"images": images, **labels})
+        images_s = sharded.pop("images")
+        state, vals = step_fn(state, images_s, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(vals["loss"]))
+    assert int(state.step) == 1
+
+
+def test_eval_step():
+    cfg, model, state, tx, schedule, images, labels = _setup()
+    vals = jax.jit(lambda s, i, l: eval_step(cfg, model, s, i, l))(
+        state, images, labels)
+    assert np.isfinite(float(vals["val_det_loss"]))
+
+
+def test_ema_params_track():
+    cfg, model, state, tx, schedule, images, labels = _setup()
+    assert state.ema_params is not None
+    step_fn = make_jitted_train_step(cfg, model, tx, schedule, 10)
+    new_state, _ = step_fn(state, images, labels, jax.random.PRNGKey(1))
+    # EMA moved slightly toward new params but is not equal to them
+    p0 = jax.tree_util.tree_leaves(new_state.params)[0]
+    e0 = jax.tree_util.tree_leaves(new_state.ema_params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(e0))
