@@ -46,7 +46,16 @@ class Anchors:
         self.image_size = parse_image_size(image_size)
         self.feat_sizes = get_feat_sizes(image_size, max_level)
         self.boxes_np = self._generate_boxes()
-        self.boxes = jnp.asarray(self.boxes_np)
+
+    @property
+    def boxes(self) -> jnp.ndarray:
+        """Anchor tensor as a jax array.
+
+        Materialized from numpy on every access: Anchors objects are cached
+        across jit traces (`from_config`), so holding a jnp array created
+        inside one trace would leak tracers into the next.
+        """
+        return jnp.asarray(self.boxes_np)
 
     def _level_configs(self, level: int):
         """(stride_yx, octave, aspect, scale) per anchor shape on a level."""
