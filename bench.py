@@ -1,17 +1,23 @@
 """Benchmark: 10-pass MC-dropout efficientdet-d0 inference throughput.
 
-Measures the headline metric from BASELINE.md: images/sec for MC-dropout
-(T=10) efficientdet-d0 at the KITTI operating point (1024x512, 8 classes,
-loss attenuation + MC dropout 0.05), including on-device uncertainty
+Headline metric from BASELINE.md: images/sec for MC-dropout (T=10)
+efficientdet-d0 at the KITTI operating point (1024x512, 8 classes, loss
+attenuation + MC dropout 0.05), including on-device uncertainty
 post-processing (decode + soft-NMS + packing).
 
-`vs_baseline` is measured on the SAME chip against a faithful
-reference-style execution: batch=1, a Python loop of 10 separate
-forward-pass calls (the reference's MC loop, `efficientdet_keras.py:
-999-1024`), host round-trip per pass, post-processing as a separate call —
-i.e. the reference's execution schedule with identical math. The optimized
-path batches the MC axis via vmap, fuses post-processing, runs bf16, and
-batches images.
+Methodology: the chip sits behind a relay that (a) adds a large per-call
+round-trip and (b) memoizes identical (executable, args) calls, so naive
+async timing is invalid. Each measurement is therefore ONE jitted program
+that `lax.scan`s over K batches with per-step PRNG keys (distinct work every
+step, single round-trip, no host in the loop); throughput = K*batch /
+wall-time.
+
+`vs_baseline` compares against a faithful reference-style schedule measured
+the same way: batch=1 and the MC axis as a *sequential* scan of T full
+forward passes (the reference's Python loop, `efficientdet_keras.py:
+999-1024`), f32 compute (the reference default) — but with zero host/launch
+overhead, which is GENEROUS to the baseline; the real reference also pays a
+per-pass host round trip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,6 +28,11 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+T = 10
+BATCH = 8
+K_OPT = 16     # scanned batches per timed call (optimized path)
+K_REF = 4      # scanned images per timed call (reference-style path)
 
 
 def build(dtype):
@@ -34,37 +45,16 @@ def build(dtype):
     cfg.loss_attenuation = True
     cfg.mc_dropout = True
     cfg.mc_dropoutrate = 0.05
-    cfg.mc_dropoutsamp = 10
+    cfg.mc_dropoutsamp = T
     cfg.is_training_bn = False
     model = EfficientDetNet(cfg, dtype=dtype)
     return cfg, model
 
 
-def timed(fn, *args, warmup=3, iters=10):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
-def main():
+def _mc_batch_fn(cfg, model):
     from udal_tpu.ops.postprocess import postprocess_global
 
-    T = 10
-    batch = 8
-
-    # ---- optimized TPU-native path: vmap MC axis + fused postprocess ----
-    cfg, model = build(jnp.bfloat16)
-    x = jnp.asarray(np.random.RandomState(0).rand(batch, 512, 1024, 3),
-                    jnp.float32)
-    variables = jax.jit(lambda: model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        x[:1], train=False))()
-
-    def optimized(variables, images, key):
+    def one_batch(variables, images, key):
         keys = jax.random.split(key, T)
         cls_s, box_s = jax.vmap(
             lambda k: model.apply(variables, images, train=False,
@@ -73,43 +63,77 @@ def main():
         box_s = [b.astype(jnp.float32) for b in box_s]
         det = postprocess_global(cfg, cls_s, box_s,
                                  image_scales=jnp.ones((images.shape[0],)))
-        return det.packed()
+        # reduce to a scalar so the scan carry stays tiny but depends on
+        # every output (prevents DCE)
+        return jnp.sum(det.scores) + jnp.sum(det.boxes) + \
+            jnp.sum(det.valid_len.astype(jnp.float32))
 
-    opt_fn = jax.jit(optimized)
-    key = jax.random.PRNGKey(7)
-    t_opt = timed(opt_fn, variables, x, key)
-    ips_opt = batch / t_opt
+    return one_batch
 
-    # ---- reference-style schedule: batch=1, python MC loop, separate calls --
+
+def _ref_style_fn(cfg, model):
+    """Sequential T-pass MC on a single image (reference loop schedule)."""
+    from udal_tpu.ops.postprocess import postprocess_global
+
+    def one_image(variables, image1, key):
+        keys = jax.random.split(key, T)
+
+        def pass_step(carry, k):
+            outs = model.apply(variables, image1, train=False,
+                               rngs={"dropout": k})
+            return carry, outs
+
+        _, stacked = jax.lax.scan(pass_step, 0.0, keys)  # sequential passes
+        cls_s = [c for c in stacked[0]]
+        box_s = [b for b in stacked[1]]
+        det = postprocess_global(cfg, cls_s, box_s,
+                                 image_scales=jnp.ones((1,)))
+        return jnp.sum(det.scores) + jnp.sum(det.boxes)
+
+    return one_image
+
+
+def _timed_scan(fn, variables, images, n_scan, trials=3):
+    """One jitted scan over n_scan steps with distinct keys; median wall."""
+
+    @jax.jit
+    def many(variables, images, key):
+        def step(carry, k):
+            return carry + fn(variables, images, k), None
+        keys = jax.random.split(key, n_scan)
+        total, _ = jax.lax.scan(step, 0.0, keys)
+        return total
+
+    jax.block_until_ready(many(variables, images, jax.random.PRNGKey(0)))
+    times = []
+    for t in range(trials):
+        # distinct top-level key per call: the relay memoizes repeated args
+        key = jax.random.PRNGKey(1000 + t)
+        t0 = time.perf_counter()
+        jax.block_until_ready(many(variables, images, key))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    rng = np.random.RandomState(0)
+
+    # ---- optimized TPU-native path: bf16, vmap MC axis, batch 8 ----------
+    cfg, model = build(jnp.bfloat16)
+    x = jnp.asarray(rng.rand(BATCH, 512, 1024, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x[:1], train=False))()
+    t_opt = _timed_scan(_mc_batch_fn(cfg, model), variables, x, K_OPT)
+    ips_opt = BATCH * K_OPT / t_opt
+
+    # ---- reference-style schedule: f32, batch 1, sequential MC loop ------
     cfg32, model32 = build(jnp.float32)
     v32 = jax.jit(lambda: model32.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         x[:1], train=False))()
-    one_pass = jax.jit(lambda v, im, k: model32.apply(
-        v, im, train=False, rngs={"dropout": k}))
-
-    def post_ref(cls_s, box_s):
-        det = postprocess_global(cfg32, cls_s, box_s,
-                                 image_scales=jnp.ones((1,)))
-        return det.packed()
-
-    post_fn = jax.jit(post_ref)
-
-    def reference_style(image1):
-        cls_acc, box_acc = None, None
-        outs = []
-        for t in range(T):
-            outs.append(one_pass(v32, image1, jax.random.PRNGKey(t)))
-            jax.block_until_ready(outs[-1])       # host sync per pass (loop semantics)
-        cls_s = [jnp.stack([o[0][l] for o in outs]) for l in range(5)]
-        box_s = [jnp.stack([o[1][l] for o in outs]) for l in range(5)]
-        out = post_fn(cls_s, box_s)
-        jax.block_until_ready(out)
-        return out
-
-    img1 = x[:1]
-    t_ref = timed(reference_style, img1, warmup=2, iters=5)
-    ips_ref = 1.0 / t_ref
+    t_ref = _timed_scan(_ref_style_fn(cfg32, model32), v32, x[:1], K_REF)
+    ips_ref = K_REF / t_ref
 
     result = {
         "metric": "images/sec, 10-pass MC-dropout efficientdet-d0 @1024x512 "

@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from udal_tpu.config import get_detection_config
+from udal_tpu.data.dataloader import (InputReader, parse_detection_example,
+                                      resize_and_crop, horizontal_flip,
+                                      scale_factors_to_output)
+from udal_tpu.data.synthetic import write_synthetic_dataset
+from udal_tpu.data.label_maps import get_label_map, get_dataset_data
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    path = str(d / "train.tfrecord")
+    meta = write_synthetic_dataset(path, num_images=8, height=96, width=160,
+                                   num_classes=7, seed=0)
+    return path, meta
+
+
+def _config():
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = 128
+    cfg.num_classes = 8
+    return cfg
+
+
+def test_parse_example_roundtrip(synth):
+    from udal_tpu.data import tfrecord as tfr
+    path, meta = synth
+    rec = next(iter(tfr.iterate_tfrecord(path)))
+    ex = parse_detection_example(rec)
+    assert ex.image.shape == (96, 160, 3)
+    np.testing.assert_allclose(ex.boxes, meta[0]["boxes"], atol=1e-3)
+    np.testing.assert_array_equal(ex.classes, meta[0]["classes"])
+    assert ex.source_id == "0"
+
+
+def test_eval_pipeline_batches(synth):
+    path, meta = synth
+    cfg = _config()
+    reader = InputReader(path, is_training=False, names=True)
+    batches = list(reader(cfg, batch_size=4))
+    assert len(batches) == 2
+    images, labels = batches[0]
+    assert images.shape == (4, 128, 128, 3)
+    assert labels["cls_targets_3"].shape == (4, 16, 16, 9)
+    assert labels["box_targets_3"].shape == (4, 16, 16, 36)
+    assert labels["groundtruth_data"].shape[-1] == 7
+    assert len(labels["image_names"]) == 4
+    # image scale maps network res back to original: 96x160 -> 128 canvas
+    scale, sh, sw = scale_factors_to_output(96, 160, (128, 128))
+    np.testing.assert_allclose(labels["image_scales"][0], 1.0 / scale,
+                               rtol=1e-5)
+
+
+def test_train_pipeline_is_infinite_and_labeled(synth):
+    path, _ = synth
+    cfg = _config()
+    reader = InputReader(path, is_training=True, seed=1)
+    it = reader(cfg, batch_size=4)
+    for _ in range(3):
+        images, labels = next(it)
+        assert images.shape == (4, 128, 128, 3)
+        assert float(labels["mean_num_positives"][0]) >= 1.0
+
+
+def test_fake_data_caches_first_batch(synth):
+    path, _ = synth
+    cfg = _config()
+    reader = InputReader(path, is_training=True, use_fake_data=True)
+    it = reader(cfg, batch_size=2)
+    a = next(it)
+    b = next(it)
+    np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_horizontal_flip_boxes():
+    img = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    boxes = np.asarray([[0.0, 1.0, 2.0, 3.0]], np.float32)
+    fimg, fboxes = horizontal_flip(img, boxes)
+    np.testing.assert_array_equal(fimg, img[:, ::-1])
+    np.testing.assert_allclose(fboxes, [[0.0, 0.0, 2.0, 2.0]])
+
+
+def test_label_maps():
+    km = get_label_map("kitti")
+    assert km[1] == "car" and len(km) == 7
+    bm = get_label_map("bdd")
+    assert bm[10] == "traffic sign"
+    lm, src, names, shape, _ = get_dataset_data("models/KITTI_test")
+    assert shape == [375, 1220]
+    assert names[0] == "Car"
