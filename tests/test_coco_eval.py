@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+
+from udal_tpu.eval.coco import COCOEvaluator
+
+
+def _gt_row(y1, x1, y2, x2, cls, crowd=0):
+    return [y1, x1, y2, x2, crowd, (y2 - y1) * (x2 - x1), cls]
+
+
+def _det_row(img, x, y, w, h, score, cls):
+    return [img, x, y, w, h, score, cls]
+
+
+def test_perfect_detections_ap_1():
+    ev = COCOEvaluator()
+    gt = np.asarray([[_gt_row(10, 10, 50, 50, 1), _gt_row(60, 60, 90, 90, 2)]])
+    det = np.asarray([[_det_row(0, 10, 10, 40, 40, 0.9, 1),
+                       _det_row(0, 60, 60, 30, 30, 0.8, 2)]])
+    ev.update_state(gt, det)
+    res = ev.result()
+    assert res["AP"] == pytest.approx(1.0)
+    assert res["AP50"] == pytest.approx(1.0)
+
+
+def test_missed_detection_lowers_ap():
+    ev = COCOEvaluator()
+    gt = np.asarray([[_gt_row(10, 10, 50, 50, 1), _gt_row(60, 60, 90, 90, 1)]])
+    det = np.asarray([[_det_row(0, 10, 10, 40, 40, 0.9, 1),
+                       [0, 0, 0, 0, 0, 0, 0]]])
+    ev.update_state(gt, det)
+    res = ev.result()
+    assert 0.4 < res["AP"] < 0.6
+
+
+def test_false_positive_lowers_precision():
+    ev = COCOEvaluator()
+    gt = np.asarray([[_gt_row(10, 10, 50, 50, 1)] + [[0] * 7]])
+    det = np.asarray([[_det_row(0, 10, 10, 40, 40, 0.9, 1),
+                       _det_row(0, 200, 200, 40, 40, 0.95, 1)]])
+    ev.update_state(gt, det)
+    res = ev.result()
+    assert res["AP"] < 1.0
+
+
+def test_fine_grid_reports_per_iou():
+    ev = COCOEvaluator(fine_grid=True)
+    gt = np.asarray([[_gt_row(10, 10, 50, 50, 1)]])
+    det = np.asarray([[_det_row(0, 12, 12, 40, 40, 0.9, 1)]])  # IoU ~0.8
+    ev.update_state(gt, det)
+    res = ev.result()
+    assert res["AP@0.05"] == pytest.approx(1.0)
+    assert res["AP@0.95"] == pytest.approx(0.0)
+    assert "AP_/1" in res
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_parity_with_pycocotools_if_available(seed):
+    pycoco = pytest.importorskip("pycocotools.coco")
+    from pycocotools.coco import COCO
+    from pycocotools.cocoeval import COCOeval
+
+    rng = np.random.RandomState(seed)
+    n_img, n_cls = 4, 3
+    gt_ann, images, dets = [], [], []
+    ev = COCOEvaluator()
+    for img in range(n_img):
+        images.append({"id": img, "height": 300, "width": 300})
+        gts, dd = [], []
+        for _ in range(rng.randint(1, 5)):
+            x, y = rng.uniform(0, 200, 2)
+            w, h = rng.uniform(20, 80, 2)
+            c = rng.randint(1, n_cls + 1)
+            gt_ann.append({"id": len(gt_ann) + 1, "image_id": img,
+                           "category_id": c, "bbox": [x, y, w, h],
+                           "area": w * h, "iscrowd": 0})
+            gts.append(_gt_row(y, x, y + h, x + w, c))
+            if rng.rand() < 0.8:
+                jx, jy = rng.uniform(-8, 8, 2)
+                dd.append(_det_row(img, x + jx, y + jy, w, h,
+                                   rng.uniform(0.3, 1), c))
+        for _ in range(rng.randint(0, 3)):   # false positives
+            x, y = rng.uniform(0, 250, 2)
+            dd.append(_det_row(img, x, y, 20, 20, rng.uniform(0, 0.5),
+                               rng.randint(1, n_cls + 1)))
+        while len(gts) < 8:
+            gts.append([0] * 7)
+        while len(dd) < 8:
+            dd.append([img] + [0] * 6)
+        ev.update_state(np.asarray([gts], float), np.asarray([dd], float))
+        dets.extend(dd)
+
+    coco = COCO()
+    coco.dataset = {"images": images, "annotations": gt_ann,
+                    "categories": [{"id": c} for c in range(1, n_cls + 1)]}
+    coco.createIndex()
+    det_list = [{"image_id": int(d[0]), "category_id": int(d[6]),
+                 "bbox": [d[1], d[2], d[3], d[4]], "score": d[5]}
+                for d in dets if d[5] > 0]
+    cocodt = coco.loadRes(det_list)
+    E = COCOeval(coco, cocodt, iouType="bbox")
+    E.evaluate(); E.accumulate(); E.summarize()
+
+    res = ev.result()
+    np.testing.assert_allclose(res["AP"], E.stats[0], atol=1e-6)
+    np.testing.assert_allclose(res["AP50"], E.stats[1], atol=1e-6)
+    np.testing.assert_allclose(res["AP75"], E.stats[2], atol=1e-6)
+    np.testing.assert_allclose(res["ARmax100"], E.stats[8], atol=1e-6)
