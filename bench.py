@@ -104,11 +104,17 @@ def _timed_scan(fn, variables, images, n_scan, trials=3):
         total, _ = jax.lax.scan(step, 0.0, keys)
         return total
 
-    jax.block_until_ready(many(variables, images, jax.random.PRNGKey(0)))
+    import os as _os
+
+    def fresh_key():
+        # entropy-derived: the relay memoizes repeated (executable, args)
+        # pairs across processes, so keys must never repeat
+        return jax.random.PRNGKey(int.from_bytes(_os.urandom(4), "little"))
+
+    jax.block_until_ready(many(variables, images, fresh_key()))
     times = []
-    for t in range(trials):
-        # distinct top-level key per call: the relay memoizes repeated args
-        key = jax.random.PRNGKey(1000 + t)
+    for _ in range(trials):
+        key = fresh_key()
         t0 = time.perf_counter()
         jax.block_until_ready(many(variables, images, key))
         times.append(time.perf_counter() - t0)

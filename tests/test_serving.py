@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from udal_tpu.apps.serving import ServingDriver, load_exported
+from udal_tpu.train.train_lib import TrainState
+from udal_tpu.utils.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                       save_checkpoint, swap_in_ema)
+
+
+def _driver(**overrides):
+    ov = {"image_size": 128, "num_classes": 8}
+    ov.update(overrides)
+    return ServingDriver.create("efficientdet-d0", overrides=ov, batch_size=2)
+
+
+def test_serve_deterministic_shapes():
+    d = _driver()
+    imgs = np.random.RandomState(0).randint(0, 255, (2, 96, 160, 3), np.uint8)
+    boxes, scores, classes, valid = d.serve(imgs)
+    assert boxes.shape == (2, 100, 4)
+    assert scores.shape == (2, 100)
+    assert classes.shape == (2, 100)
+    assert valid.shape == (2,)
+    # boxes are scaled back to original resolution
+    assert float(jnp.max(boxes)) <= 165.0
+
+
+def test_serve_with_uncertainty_packing():
+    d = _driver(loss_attenuation=True, mc_dropout=True, mc_dropoutrate=0.1,
+                mc_dropoutsamp=3, enable_softmax=True, is_training_bn=False)
+    imgs = np.random.RandomState(0).randint(0, 255, (2, 96, 160, 3), np.uint8)
+    out = d.serve(imgs)
+    boxes, scores, classes, valid, logits = out
+    # boxes ⊕ sigma_al ⊕ sigma_mc
+    assert boxes.shape == (2, 100, 12)
+    # class ⊕ sigma_cls
+    assert classes.shape == (2, 100, 1 + 8)
+    assert logits.shape == (2, 100, 8)
+
+
+def test_structured_detections():
+    d = _driver(loss_attenuation=True)
+    imgs = np.zeros((2, 128, 128, 3), np.uint8)
+    det = d.serve_detections(imgs)
+    assert det.sigma_al is not None and det.sigma_mc is None
+    assert det.boxes.shape == (2, 100, 4)
+
+
+def test_export_and_reload(tmp_path):
+    d = _driver()
+    path = d.export(str(tmp_path / "export"))
+    call = load_exported(path)
+    imgs = np.random.RandomState(1).rand(2, 128, 128, 3).astype(np.float32)
+    ref = d._serve_fn(d.variables, jnp.asarray(imgs), jax.random.PRNGKey(5))
+    out = call(imgs, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    d = _driver()
+    state = TrainState(step=jnp.asarray(7), params=d.variables["params"],
+                       batch_stats=d.variables["batch_stats"],
+                       opt_state=(), ema_params=None)
+    model_dir = str(tmp_path / "model")
+    save_checkpoint(model_dir, state, epoch=3)
+    save_checkpoint(model_dir, state, epoch=5)
+    assert latest_checkpoint(model_dir) == 5
+    zero_state = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, epoch = restore_checkpoint(model_dir, zero_state)
+    assert epoch == 5
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_underscore_is_noop():
+    state = TrainState(step=jnp.asarray(0), params={"w": jnp.ones(3)},
+                       batch_stats={}, opt_state=(), ema_params=None)
+    restored, epoch = restore_checkpoint("_", state)
+    assert epoch == 0
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.ones(3))
+
+
+def test_swap_in_ema():
+    state = TrainState(step=jnp.asarray(0), params={"w": jnp.ones(3)},
+                       batch_stats={"bn": jnp.zeros(2)}, opt_state=(),
+                       ema_params={"w": jnp.full((3,), 2.0)})
+    v = swap_in_ema(state)
+    np.testing.assert_array_equal(np.asarray(v["params"]["w"]), 2.0 * np.ones(3))

@@ -1,0 +1,192 @@
+"""Serving driver: one jitted program from raw images to detections.
+
+TPU-native redesign of the reference serving stack
+(`/root/reference/src/infer_lib.py:94-616`): KerasDriver/SavedModelDriver
+collapse into one `ServingDriver` whose `serve()` is a single XLA program —
+preprocess (normalize/resize) → deterministic or vmap'd MC-dropout forward →
+fused uncertainty postprocess — instead of per-image Python loops around a
+SavedModel. Export uses `jax.export` (StableHLO) as the portable artifact
+(the SavedModel/TFLite/TensorRT role).
+
+Benchmark parity: `benchmark()` mirrors `infer_lib.py:206-230` (warmups +
+timed runs → latency & FPS) but times a scanned multi-batch program with
+fresh PRNG keys per step, which stays valid behind the axon relay (the relay
+memoizes repeated identical calls).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from udal_tpu.config import Config, get_detection_config, parse_image_size
+from udal_tpu.models.efficientdet import (EfficientDetNet, mc_forward,
+                                          preprocess_images)
+from udal_tpu.ops.postprocess import Detections, postprocess_global
+
+
+class ServingDriver:
+    """End-to-end detection serving with on-device uncertainty.
+
+    Usage parity with `infer_lib.ServingDriver.create` (`infer_lib.py:154`):
+      driver = ServingDriver(config or model_name, variables)
+      outputs = driver.serve(uint8_images)   # packed reference contract
+    """
+
+    def __init__(self, config: Config, variables: Any,
+                 batch_size: int = 1, dtype=jnp.float32,
+                 mc_seed: int = 0):
+        self.config = config
+        self.batch_size = batch_size
+        self.model = EfficientDetNet(config, dtype=dtype)
+        self.variables = variables
+        self._mc_key = jax.random.PRNGKey(mc_seed)
+        self._serve_fn = jax.jit(self._serve_impl)
+
+    @classmethod
+    def create(cls, model_name: str, variables: Any = None,
+               overrides: Optional[Dict] = None, batch_size: int = 1,
+               rng: Optional[jax.Array] = None, **kwargs) -> "ServingDriver":
+        config = get_detection_config(model_name)
+        if overrides:
+            config.override(overrides, allow_new_keys=True)
+        if variables is None:
+            h, w = parse_image_size(config.image_size)
+            model = EfficientDetNet(config, dtype=kwargs.get("dtype",
+                                                             jnp.float32))
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            p_rng, d_rng = jax.random.split(rng)
+            variables = jax.jit(lambda: model.init(
+                {"params": p_rng, "dropout": d_rng},
+                jnp.zeros((1, h, w, 3)), train=False))()
+        return cls(config, variables, batch_size, **kwargs)
+
+    # -- core program --------------------------------------------------------
+
+    def _forward(self, variables, images, key):
+        cfg = self.config
+        if cfg.mc_dropout and (cfg.mc_dropoutrate or cfg.mc_classheadrate or
+                               cfg.mc_boxheadrate):
+            cls_s, box_s = mc_forward(self.model, variables, images, key,
+                                      cfg.mc_dropoutsamp)
+        else:
+            cls_s, box_s = self.model.apply(variables, images, train=False)
+        return ([c.astype(jnp.float32) for c in cls_s],
+                [b.astype(jnp.float32) for b in box_s])
+
+    def _serve_impl(self, variables, raw_images, key):
+        cfg = self.config
+        images, scales = preprocess_images(raw_images, cfg.image_size,
+                                           cfg.mean_rgb, cfg.stddev_rgb)
+        images = images.astype(self.model.dtype)
+        cls_s, box_s = self._forward(variables, images, key)
+        det = postprocess_global(cfg, cls_s, box_s, image_scales=scales)
+        return det.packed()
+
+    def serve(self, raw_images) -> Tuple[jnp.ndarray, ...]:
+        """raw uint8/float images [B, H, W, 3] → packed detection tuple
+        (boxes⊕sigma_al⊕sigma_mc, scores, classes⊕sigma_cls, valid_len
+        [, logits])."""
+        self._mc_key, sub = jax.random.split(self._mc_key)
+        return self._serve_fn(self.variables, jnp.asarray(raw_images), sub)
+
+    def serve_detections(self, raw_images) -> Detections:
+        """Structured (non-packed) serve."""
+        cfg = self.config
+
+        @jax.jit
+        def run(variables, raw_images, key):
+            images, scales = preprocess_images(raw_images, cfg.image_size,
+                                               cfg.mean_rgb, cfg.stddev_rgb)
+            images = images.astype(self.model.dtype)
+            cls_s, box_s = self._forward(variables, images, key)
+            return postprocess_global(cfg, cls_s, box_s, image_scales=scales)
+
+        self._mc_key, sub = jax.random.split(self._mc_key)
+        return run(self.variables, jnp.asarray(raw_images), sub)
+
+    # -- export ---------------------------------------------------------------
+
+    def export(self, output_dir: str) -> str:
+        """Serialize the serving program as StableHLO (`jax.export`).
+
+        The portable-artifact role of the reference's SavedModel export
+        (`infer_lib.py:493-616`); parameters ride inside the artifact as
+        constants closed over by the exported function.
+        """
+        from jax import export as jexport
+
+        os.makedirs(output_dir, exist_ok=True)
+        h, w = parse_image_size(self.config.image_size)
+        spec_img = jax.ShapeDtypeStruct((self.batch_size, h, w, 3),
+                                        jnp.float32)
+        spec_key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        variables = self.variables
+
+        def fn(raw_images, key_data):
+            key = jax.random.wrap_key_data(key_data)
+            return self._serve_impl(variables, raw_images, key)
+
+        exported = jexport.export(jax.jit(fn))(spec_img, spec_key)
+        path = os.path.join(output_dir, "serving.stablehlo")
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+        self.config.save_to_yaml(os.path.join(output_dir, "config.yaml"))
+        return path
+
+    # -- benchmark ------------------------------------------------------------
+
+    def benchmark(self, raw_images, warmup: int = 3, iters: int = 10
+                  ) -> Dict[str, float]:
+        """Latency/FPS — parity `infer_lib._benchmark`
+        (`infer_lib.py:206-230`), implemented as one scanned program with
+        per-step keys so relay memoization cannot skip work."""
+        cfg = self.config
+        raw_images = jnp.asarray(raw_images)
+
+        images, scales = preprocess_images(raw_images, cfg.image_size,
+                                           cfg.mean_rgb, cfg.stddev_rgb)
+        images = images.astype(self.model.dtype)
+
+        @jax.jit
+        def scanned(variables, images, key):
+            def step(carry, k):
+                cls_s, box_s = self._forward(variables, images, k)
+                det = postprocess_global(cfg, cls_s, box_s,
+                                         image_scales=scales)
+                return carry + jnp.sum(det.scores) + jnp.sum(det.boxes), None
+            keys = jax.random.split(key, iters)
+            total, _ = jax.lax.scan(step, 0.0, keys)
+            return total
+
+        for i in range(warmup):
+            jax.block_until_ready(scanned(self.variables, images,
+                                          jax.random.PRNGKey(i)))
+        t0 = time.perf_counter()
+        jax.block_until_ready(scanned(self.variables, images,
+                                      jax.random.PRNGKey(warmup + 100)))
+        dt = (time.perf_counter() - t0) / iters
+        fps = raw_images.shape[0] / dt
+        return {"latency_ms": dt * 1e3, "fps": fps}
+
+
+def load_exported(path: str):
+    """Deserialize a StableHLO serving artifact back into a callable."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def call(raw_images, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return exported.call(jnp.asarray(raw_images),
+                             jax.random.key_data(key))
+
+    return call

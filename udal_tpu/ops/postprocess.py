@@ -34,6 +34,7 @@ CLASS_OFFSET = 1  # background is class 0 in the label map
 MAX_DETECTION_POINTS = anchor_lib.MAX_DETECTION_POINTS
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Detections:
     """Structured detection results (all fixed shape, batch leading)."""
