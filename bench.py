@@ -111,13 +111,20 @@ def _timed_scan(fn, variables, images, n_scan, trials=3):
         # pairs across processes, so keys must never repeat
         return jax.random.PRNGKey(int.from_bytes(_os.urandom(4), "little"))
 
+    import sys as _sys
+
+    t0 = time.perf_counter()
     jax.block_until_ready(many(variables, images, fresh_key()))
+    print(f"[bench] warmup+compile: {time.perf_counter() - t0:.1f}s",
+          file=_sys.stderr)
     times = []
     for _ in range(trials):
         key = fresh_key()
         t0 = time.perf_counter()
         jax.block_until_ready(many(variables, images, key))
         times.append(time.perf_counter() - t0)
+    print(f"[bench] trial times: {[round(t, 3) for t in times]}",
+          file=_sys.stderr)
     return float(np.median(times))
 
 
