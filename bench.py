@@ -113,15 +113,18 @@ def _timed_scan(fn, variables, images, n_scan, trials=3):
 
     import sys as _sys
 
+    # NOTE: behind the axon relay, block_until_ready does not reliably wait
+    # for remote execution; fetching the scalar VALUE to host does. The
+    # result is one float, so the transfer itself is negligible.
     t0 = time.perf_counter()
-    jax.block_until_ready(many(variables, images, fresh_key()))
+    float(many(variables, images, fresh_key()))
     print(f"[bench] warmup+compile: {time.perf_counter() - t0:.1f}s",
           file=_sys.stderr)
     times = []
     for _ in range(trials):
         key = fresh_key()
         t0 = time.perf_counter()
-        jax.block_until_ready(many(variables, images, key))
+        float(many(variables, images, key))
         times.append(time.perf_counter() - t0)
     print(f"[bench] trial times: {[round(t, 3) for t in times]}",
           file=_sys.stderr)

@@ -1,0 +1,243 @@
+"""Batched inference application: uncertainty extraction, calibration,
+auto-labeling.
+
+TPU-native redesign of `InferImages` (`/root/reference/src/infer_model.py:
+554-1059`): the reference loops one image at a time through a SavedModel;
+here the pool is served in device-sized batches, and only final detections
+spill to host for calibration (sklearn) and artifact writing. Output
+contracts match the reference:
+
+* ``prediction_data.txt`` — one python-dict line per detection
+  (image_name, det_score, bbox, class, entropy/logits, raw + calibrated
+  uncertainties) parsed downstream with `ast.literal_eval`
+  (`infer_model.py:836-960`, `active_learning_loop.py:544-764`);
+* auto-label gate: weighted combined uncertainty < mean(optimal thresholds)
+  → ``labeled/`` else ``examine/`` (`infer_model.py:742-764`), with KITTI-
+  format pseudo-label txt files for accepted images.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from udal_tpu.apps.calibration import (CalibrateBoxUncert, CalibrateClass,
+                                       load_calibrators, relativize)
+from udal_tpu.apps.serving import ServingDriver
+from udal_tpu.apps.thresholding import read_optimal_thresholds
+
+
+def split_serve_outputs(config, outputs) -> Dict[str, np.ndarray]:
+    """Unpack the packed serving tuple into named arrays.
+
+    Parity with the output splitting at `infer_model.py:585-650`:
+    boxes[:, :, 4:8] -> albox sigma, [:, :, 8:12] -> mcbox sigma,
+    classes[:, :, 1:] -> per-class logit sigma, logits -> softmax/entropy.
+    """
+    has_logits = bool(config.enable_softmax)
+    if has_logits:
+        boxes, scores, classes, valid, logits = outputs
+    else:
+        boxes, scores, classes, valid = outputs
+        logits = None
+    boxes = np.asarray(boxes)
+    classes = np.asarray(classes)
+    out: Dict[str, np.ndarray] = {
+        "scores": np.asarray(scores), "valid_len": np.asarray(valid)}
+
+    la = bool(config.loss_attenuation)
+    mc_box = bool(config.mc_dropout and (config.mc_boxheadrate or
+                                         config.mc_dropoutrate))
+    mc_cls = bool(config.mc_dropout and (config.mc_classheadrate or
+                                         config.mc_dropoutrate))
+    col = 4
+    out["boxes"] = boxes[..., :4]
+    if la:
+        out["sigma_al"] = boxes[..., col:col + 4]
+        col += 4
+    if mc_box:
+        out["sigma_mc"] = boxes[..., col:col + 4]
+    if mc_cls:
+        out["classes"] = classes[..., 0]
+        out["sigma_cls"] = classes[..., 1:]
+    else:
+        out["classes"] = classes if classes.ndim == 2 else classes[..., 0]
+    if logits is not None:
+        logits = np.asarray(logits)
+        out["logits"] = logits
+        z = logits - logits.max(-1, keepdims=True)
+        p = np.exp(z)
+        p = p / p.sum(-1, keepdims=True)
+        out["probab"] = p
+        out["entropy"] = -np.sum(p * np.log(np.clip(p, 1e-12, 1)), -1)
+    return out
+
+
+class InferImages:
+    """Pool inference with uncertainty artifacts and auto-labeling."""
+
+    def __init__(self, driver: ServingDriver, save_dir: str,
+                 calib_dir: Optional[str] = None,
+                 auto_labeling: bool = False,
+                 opt_params: Optional[Sequence[float]] = None,
+                 opt_thrs_path: Optional[str] = None,
+                 min_score: float = 0.0):
+        self.driver = driver
+        self.config = driver.config
+        self.save_dir = save_dir
+        self.min_score = min_score
+        self.auto_labeling = auto_labeling
+        os.makedirs(save_dir, exist_ok=True)
+        self.box_calib = self.cls_calib = None
+        if calib_dir and os.path.isdir(calib_dir):
+            reg, cls = load_calibrators(calib_dir)
+            if reg:
+                self.box_calib = CalibrateBoxUncert(reg,
+                                                    self.config.num_classes)
+            if cls:
+                self.cls_calib = CalibrateClass(cls, self.config.num_classes)
+        self.opt_params = (np.asarray(opt_params)
+                           if opt_params is not None else None)
+        self.opt_thrs = None
+        if opt_thrs_path:
+            self.opt_thrs = read_optimal_thresholds(opt_thrs_path)
+        self.count_auto = 0
+        self.count_skip = 0
+
+    # -- auto-label gate --------------------------------------------------------
+
+    def _combined_uncertainty(self, entropy, rel_albox) -> Optional[np.ndarray]:
+        sel = self.config.thr_sel_uncert
+        uncerts = []
+        if "ENT" in sel and entropy is not None:
+            uncerts.append(entropy)
+        if "ALBOX" in sel and rel_albox is not None:
+            uncerts.append(np.mean(rel_albox, axis=-1))
+        if not uncerts or self.opt_params is None:
+            return None
+        return sum(p * u for p, u in zip(self.opt_params, uncerts))
+
+    def _gate(self, combined: np.ndarray, scores: np.ndarray) -> bool:
+        keep = scores > self.min_score
+        thr = float(np.mean(self.opt_thrs)) if self.opt_thrs is not None \
+            else np.inf
+        return bool(np.all(combined[keep] < thr))
+
+    # -- main loop -----------------------------------------------------------------
+
+    def run(self, batches: Iterable[Tuple[np.ndarray, List[str]]]
+            ) -> List[Dict]:
+        """Serve (images, names) batches; write prediction_data.txt; return
+        the per-detection dict rows."""
+        rows: List[Dict] = []
+        labeled_names: List[str] = []
+        examine_names: List[str] = []
+
+        for images, names in batches:
+            out = split_serve_outputs(self.config, self.driver.serve(images))
+            b = images.shape[0]
+            for i in range(b):
+                n_val = int(out["valid_len"][i])
+                scores = out["scores"][i][:n_val]
+                boxes = out["boxes"][i][:n_val]
+                classes = out["classes"][i][:n_val]
+                entropy = out.get("entropy")
+                entropy_i = entropy[i][:n_val] if entropy is not None else None
+
+                rel_al = None
+                calibrated_boxes: Dict[str, np.ndarray] = {}
+                if "sigma_al" in out:
+                    sig = out["sigma_al"][i][:n_val]
+                    rel_al = relativize(boxes, sig) if n_val else sig
+                    if self.box_calib and n_val:
+                        calibrated_boxes = {
+                            f"{k}_albox": v for k, v in
+                            self.box_calib(sig, classes, boxes).items()}
+                calibrated_cls: Dict[str, Dict] = {}
+                if self.cls_calib is not None and "logits" in out and n_val:
+                    calibrated_cls = self.cls_calib(out["logits"][i][:n_val])
+
+                combined = None
+                if self.auto_labeling and n_val:
+                    combined = self._combined_uncertainty(entropy_i, rel_al)
+                subdir = ""
+                if self.auto_labeling:
+                    ok = combined is not None and self._gate(combined, scores)
+                    subdir = "labeled" if ok else "examine"
+                    (labeled_names if ok else examine_names).append(names[i])
+                    if ok:
+                        self.count_auto += 1
+                    else:
+                        self.count_skip += 1
+
+                for d in np.where(scores > self.min_score)[0]:
+                    row = {
+                        "image_name": names[i],
+                        "score_thresh": self.min_score,
+                        "det_score": float(scores[d]),
+                        "bbox": [float(x) for x in boxes[d]],
+                        "class": float(classes[d]),
+                    }
+                    if entropy_i is not None:
+                        row["entropy"] = float(entropy_i[d])
+                        row["logits"] = [float(x) for x in
+                                         out["logits"][i][d]]
+                        row["probab"] = [float(x) for x in
+                                         out["probab"][i][d]]
+                    if "sigma_al" in out:
+                        row["uncalib_albox"] = [
+                            float(x) for x in out["sigma_al"][i][d]]
+                    if "sigma_mc" in out:
+                        row["uncalib_mcbox"] = [
+                            float(x) for x in out["sigma_mc"][i][d]]
+                    if "sigma_cls" in out:
+                        row["uncalib_mcclass"] = [
+                            float(x) for x in out["sigma_cls"][i][d]]
+                    for k, v in calibrated_boxes.items():
+                        row[k] = [float(x) for x in v[d]]
+                    for k, v in calibrated_cls.items():
+                        row[f"{k}_entropy"] = float(v["entropy"][d])
+                    if subdir:
+                        row["auto_label"] = subdir
+                    rows.append(row)
+
+        with open(os.path.join(self.save_dir, "prediction_data.txt"),
+                  "w") as f:
+            for row in rows:
+                f.write(repr(row) + "\n")
+        if self.auto_labeling:
+            for name, lst in [("labeled", labeled_names),
+                              ("examine", examine_names)]:
+                os.makedirs(os.path.join(self.save_dir, name), exist_ok=True)
+                with open(os.path.join(self.save_dir, name, "images.txt"),
+                          "w") as f:
+                    f.write("\n".join(lst))
+        return rows
+
+
+def read_prediction_data(path: str) -> List[Dict]:
+    """Parse prediction_data.txt (ast.literal_eval per line) — the contract
+    consumed by the AL loop and SSL scoring."""
+    import ast
+
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(ast.literal_eval(line))
+    return rows
+
+
+def write_kitti_labels(path: str, boxes: np.ndarray, classes: np.ndarray,
+                       scores: np.ndarray, label_map: Dict[int, str]) -> None:
+    """Write pseudo-labels in KITTI txt format (type, trunc, occl, alpha,
+    x1 y1 x2 y2, dims/loc zeros, score)."""
+    with open(path, "w") as f:
+        for b, c, s in zip(boxes, classes, scores):
+            name = label_map.get(int(c), str(int(c)))
+            y1, x1, y2, x2 = [float(v) for v in b]
+            f.write(f"{name} 0.0 0 0.0 {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+                    f"0.0 0.0 0.0 0.0 0.0 0.0 0.0 {float(s):.4f}\n")

@@ -165,12 +165,17 @@ class ServingDriver:
             total, _ = jax.lax.scan(step, 0.0, keys)
             return total
 
-        for i in range(warmup):
-            jax.block_until_ready(scanned(self.variables, images,
-                                          jax.random.PRNGKey(i)))
+        import os as _os
+
+        def fresh_key():
+            return jax.random.PRNGKey(int.from_bytes(_os.urandom(4), "little"))
+
+        # fetch the scalar value: on the tunneled TPU platform
+        # block_until_ready does not reliably wait for remote execution
+        for _ in range(warmup):
+            float(scanned(self.variables, images, fresh_key()))
         t0 = time.perf_counter()
-        jax.block_until_ready(scanned(self.variables, images,
-                                      jax.random.PRNGKey(warmup + 100)))
+        float(scanned(self.variables, images, fresh_key()))
         dt = (time.perf_counter() - t0) / iters
         fps = raw_images.shape[0] / dt
         return {"latency_ms": dt * 1e3, "fps": fps}
