@@ -1,0 +1,84 @@
+import os
+
+import numpy as np
+import pytest
+
+from udal_tpu.data.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_data")
+    train = str(d / "train.tfrecord")
+    write_synthetic_dataset(train, num_images=8, height=96, width=128,
+                            num_classes=7, seed=0)
+    return train
+
+
+def test_train_loop_end_to_end(tmp_path, dataset):
+    """Tiny end-to-end: train 2 epochs on synthetic data, checkpoint,
+    resume."""
+    from udal_tpu.config import get_detection_config
+    from udal_tpu.data.dataloader import InputReader
+    from udal_tpu.train.loop import train_and_evaluate
+    from udal_tpu.utils.checkpoint import latest_checkpoint
+
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = 64
+    cfg.num_classes = 8
+    cfg.num_epochs = 2
+    cfg.override({"batch_size": 4}, allow_new_keys=True)
+    reader = InputReader(dataset, is_training=True)
+    model_dir = str(tmp_path / "model")
+    hist = train_and_evaluate(cfg, reader(cfg, 4), steps_per_epoch=2,
+                              model_dir=model_dir, log_fn=lambda s: None)
+    assert len(hist["loss"]) == 2
+    assert np.isfinite(hist["loss"][-1])
+    assert latest_checkpoint(model_dir) == 2
+    # resume: bump epochs, continue from ckpt 2
+    cfg.num_epochs = 3
+    hist2 = train_and_evaluate(cfg, reader(cfg, 4), steps_per_epoch=2,
+                               model_dir=model_dir, log_fn=lambda s: None)
+    assert len(hist2["loss"]) == 1
+    assert latest_checkpoint(model_dir) == 3
+
+
+def test_cli_eval_runs(tmp_path, dataset, capsys):
+    from udal_tpu import cli
+
+    cli.main(["eval", "--model_name", "efficientdet-d0",
+              "--model_dir", "_",
+              "--hparams", "num_classes=8,image_size=64",
+              "--batch_size", "4",
+              "--val_file_pattern", dataset])
+    out = capsys.readouterr().out
+    assert "AP:" in out
+
+
+def test_cli_inspect_validate(tmp_path, dataset):
+    from udal_tpu import cli
+
+    out_dir = str(tmp_path / "val_out")
+    cli.main(["inspect", "--mode", "validate",
+              "--model_name", "efficientdet-d0", "--model_dir", "_",
+              "--hparams", "num_classes=8,image_size=64,loss_attenuation=True",
+              "--batch_size", "4",
+              "--val_file_pattern", dataset,
+              "--output_dir", out_dir])
+    assert os.path.exists(os.path.join(out_dir, "validate_results.txt"))
+
+
+def test_cli_inspect_calibrate(tmp_path, dataset):
+    from udal_tpu import cli
+
+    out_dir = str(tmp_path / "calib")
+    cli.main(["inspect", "--mode", "calibrate",
+              "--model_name", "efficientdet-d0", "--model_dir", "_",
+              "--hparams",
+              "num_classes=8,image_size=64,loss_attenuation=True,"
+              "enable_softmax=True,nms_configs.score_thresh=1e-6",
+              "--batch_size", "4",
+              "--val_file_pattern", dataset,
+              "--output_dir", out_dir])
+    # calibrators written when enough matched pairs were gathered
+    assert os.path.isdir(out_dir)

@@ -1,0 +1,213 @@
+"""Command-line entry points: train / eval / inspector.
+
+Parity with the reference CLIs:
+* ``python -m udal_tpu.cli train`` ↔ `python -m train_flags`
+  (`/root/reference/src/train_flags.py:50-528`): --model_dir, --hparams
+  (yaml or k=v), --batch_size, --num_epochs, TFRecord patterns, resume.
+* ``python -m udal_tpu.cli eval`` ↔ `src/eval.py:50-198`: batched COCO
+  evaluation with optional MC-dropout forward.
+* ``python -m udal_tpu.cli inspect --mode {export,inference,calibrate,
+  validate,auto-label,benchmark}`` ↔ `src/inspector.py:44-322` modes 0..6.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+
+def _load_config(args) -> "object":
+    from udal_tpu.config import get_detection_config
+
+    config = get_detection_config(args.model_name)
+    if args.hparams:
+        config.override(args.hparams, allow_new_keys=True)
+    config.override({"batch_size": args.batch_size}, allow_new_keys=True)
+    if args.num_epochs:
+        config.num_epochs = args.num_epochs
+    return config
+
+
+def cmd_train(args) -> None:
+    from udal_tpu.data.dataloader import InputReader
+    from udal_tpu.train.loop import train_and_evaluate
+
+    config = _load_config(args)
+    reader = InputReader(args.train_file_pattern, is_training=True,
+                         use_fake_data=args.use_fake_data,
+                         max_instances_per_image=config.max_instances_per_image)
+    steps = args.steps_per_epoch or max(
+        1, args.num_examples_per_epoch // args.batch_size)
+    train_iter = reader(config, args.batch_size)
+
+    val_iter_fn = None
+    val_steps = 0
+    if args.val_file_pattern:
+        val_reader = InputReader(args.val_file_pattern, is_training=False)
+        val_steps = max(1, args.eval_samples // args.batch_size)
+
+        def val_iter_fn():
+            return val_reader(config, args.batch_size)
+
+    os.makedirs(args.model_dir, exist_ok=True)
+    config.save_to_yaml(os.path.join(args.model_dir, "config.yaml"))
+    train_and_evaluate(config, train_iter, steps, args.model_dir,
+                       val_iter_fn=val_iter_fn, val_steps=val_steps)
+
+
+def cmd_eval(args) -> None:
+    import jax
+    import numpy as np
+
+    from udal_tpu.apps.serving import ServingDriver
+    from udal_tpu.data.dataloader import InputReader
+    from udal_tpu.data.label_maps import get_label_map
+    from udal_tpu.eval.coco import COCOEvaluator
+    from udal_tpu.models.efficientdet import EfficientDetNet
+    from udal_tpu.train.train_lib import create_train_state
+    from udal_tpu.utils.checkpoint import restore_checkpoint, swap_in_ema
+
+    config = _load_config(args)
+    model, state, _, _ = create_train_state(config, jax.random.PRNGKey(0), 1)
+    state, _ = restore_checkpoint(args.model_dir, state)
+    variables = swap_in_ema(state)
+    driver = ServingDriver(config, variables, batch_size=args.batch_size)
+
+    evaluator = COCOEvaluator(label_map=get_label_map(config.label_map),
+                              fine_grid=args.fine_grid)
+    reader = InputReader(args.val_file_pattern, is_training=False)
+    img_id = 0
+    for images, labels in reader(config, args.batch_size):
+        det = driver.serve_detections(images)
+        b = images.shape[0]
+        ids = np.arange(img_id, img_id + b)
+        img_id += b
+        y, x1, y2, x2 = [np.asarray(det.boxes)[..., i] for i in range(4)]
+        det_rows = np.stack(
+            [np.repeat(ids[:, None], det.boxes.shape[1], 1),
+             x1, y, x2 - x1, y2 - y, np.asarray(det.scores),
+             np.asarray(det.classes)], axis=-1)
+        gt = np.asarray(labels["groundtruth_data"])
+        gt_scaled = gt.copy()
+        gt_scaled[..., :4] *= np.asarray(
+            labels["image_scales"])[:, None, None]
+        evaluator.update_state(gt_scaled, det_rows)
+    results = evaluator.result()
+    for k, v in results.items():
+        print(f"{k}: {v:.4f}")
+
+
+def cmd_inspect(args) -> None:
+    import jax
+    import numpy as np
+
+    from udal_tpu.apps.serving import ServingDriver
+    from udal_tpu.train.train_lib import create_train_state
+    from udal_tpu.utils.checkpoint import restore_checkpoint, swap_in_ema
+
+    config = _load_config(args)
+    variables = None
+    if args.model_dir and args.model_dir != "_":
+        model, state, _, _ = create_train_state(config,
+                                                jax.random.PRNGKey(0), 1)
+        state, _ = restore_checkpoint(args.model_dir, state)
+        variables = swap_in_ema(state)
+    driver = ServingDriver(config, variables, batch_size=args.batch_size) \
+        if variables is not None else \
+        ServingDriver.create(args.model_name, batch_size=args.batch_size,
+                             overrides=dict(config.as_dict()))
+
+    if args.mode == "export":
+        path = driver.export(args.output_dir or
+                             os.path.join(args.model_dir or ".", "export"))
+        print(f"exported: {path}")
+    elif args.mode == "benchmark":
+        h, w = 512, 512
+        imgs = np.random.rand(args.batch_size, h, w, 3).astype(np.float32)
+        print(driver.benchmark(imgs))
+    elif args.mode in ("inference", "auto-label"):
+        from udal_tpu.apps.infer import InferImages
+        from udal_tpu.data.dataloader import InputReader
+
+        reader = InputReader(args.val_file_pattern, is_training=False,
+                             names=True)
+        app = InferImages(driver, args.output_dir or "infer_out",
+                          calib_dir=args.calib_dir,
+                          auto_labeling=(args.mode == "auto-label"),
+                          opt_params=[0.5, 0.5] if args.mode == "auto-label"
+                          else None,
+                          opt_thrs_path=args.opt_thrs_path)
+        batches = ((imgs, labels["image_names"])
+                   for imgs, labels in reader(config, args.batch_size))
+        rows = app.run(batches)
+        print(f"wrote {len(rows)} detections")
+    elif args.mode == "validate":
+        from udal_tpu.apps.validate import Validator
+        from udal_tpu.data.dataloader import InputReader
+
+        reader = InputReader(args.val_file_pattern, is_training=False,
+                             names=True)
+        v = Validator(driver, args.output_dir or "validate_out",
+                      calib_dir=args.calib_dir)
+        rows = v.run(reader(config, args.batch_size))
+        print(f"validated {len(rows)} ground truths")
+    elif args.mode == "calibrate":
+        from udal_tpu.apps.calibrate_model import Calibrate
+        from udal_tpu.data.dataloader import InputReader
+
+        reader = InputReader(args.val_file_pattern, is_training=False,
+                             names=True)
+        cal = Calibrate(driver, args.output_dir or "calibration")
+        cal.run(reader(config, args.batch_size))
+        print("calibrators written")
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="udal_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--model_name", default="efficientdet-d0")
+        sp.add_argument("--model_dir", default=None)
+        sp.add_argument("--hparams", default="")
+        sp.add_argument("--batch_size", type=int, default=8)
+        sp.add_argument("--num_epochs", type=int, default=None)
+        sp.add_argument("--val_file_pattern", default=None)
+
+    t = sub.add_parser("train")
+    common(t)
+    t.add_argument("--train_file_pattern", required=True)
+    t.add_argument("--num_examples_per_epoch", type=int, default=1024)
+    t.add_argument("--steps_per_epoch", type=int, default=None)
+    t.add_argument("--eval_samples", type=int, default=64)
+    t.add_argument("--use_fake_data", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval")
+    common(e)
+    e.add_argument("--fine_grid", action="store_true")
+    e.set_defaults(fn=cmd_eval)
+
+    i = sub.add_parser("inspect")
+    common(i)
+    i.add_argument("--mode", required=True,
+                   choices=["export", "inference", "calibrate", "validate",
+                            "auto-label", "benchmark"])
+    i.add_argument("--output_dir", default=None)
+    i.add_argument("--calib_dir", default=None)
+    i.add_argument("--opt_thrs_path", default=None)
+    i.set_defaults(fn=cmd_inspect)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Epoch-based training loop with checkpointing, eval and COCO callback.
+
+Parity with the reference driver loop (`/root/reference/src/train_flags.py:
+214-528`, `train_lib.py:257-677`): epoch loop over a steps_per_epoch-sized
+stream, validation every epoch, COCO AP evaluation every `map_freq` epochs,
+ModelCheckpoint each `save_freq` epochs with keep-last-N retention, resume
+from the latest checkpoint (initial epoch = restored epoch), early stopping
+with best-weight restore, loss averaging per epoch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from udal_tpu.parallel.mesh import make_mesh, shard_batch
+from udal_tpu.train.train_lib import (create_train_state, eval_step,
+                                      make_jitted_train_step)
+from udal_tpu.utils.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                       save_checkpoint)
+
+
+class EarlyStopping:
+    """Patience-based early stop restoring the best state —
+    parity `train_lib.py:257-288`."""
+
+    def __init__(self, patience: int, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = np.inf
+        self.best_state = None
+        self.count = 0
+
+    def update(self, value: float, state) -> bool:
+        """Returns True when training should stop."""
+        if value < self.best - self.min_delta:
+            self.best = value
+            self.best_state = state
+            self.count = 0
+            return False
+        self.count += 1
+        return self.patience > 0 and self.count >= self.patience
+
+
+def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
+                       model_dir: str,
+                       val_iter_fn: Optional[Callable[[], Iterator]] = None,
+                       val_steps: int = 0,
+                       coco_eval_fn: Optional[Callable] = None,
+                       mesh=None, rng: Optional[jax.Array] = None,
+                       log_fn: Callable[[str], None] = print
+                       ) -> Dict[str, List[float]]:
+    """Run `config.num_epochs` epochs; returns the metric history."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    model, state, tx, schedule = create_train_state(config, rng,
+                                                    steps_per_epoch)
+    state, start_epoch = restore_checkpoint(model_dir, state)
+    if mesh is None and jax.device_count() > 1:
+        # batch must divide evenly over the data axis
+        batch = int(config.get("batch_size", 0) or 0)
+        n = jax.device_count()
+        while batch and n > 1 and batch % n != 0:
+            n -= 1
+        if n > 1:
+            mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
+    step_fn = make_jitted_train_step(config, model, tx, schedule,
+                                     steps_per_epoch, mesh)
+    eval_fn = jax.jit(lambda s, i, l: eval_step(config, model, s, i, l))
+
+    stopper = EarlyStopping(config.early_stopping_patience or 0)
+    history: Dict[str, List[float]] = {"loss": [], "val_loss": []}
+    keep_n = max(2, int(config.get("keep_checkpoint_max", 5) or 5))
+
+    for epoch in range(start_epoch, int(config.num_epochs)):
+        t0 = time.time()
+        losses = []
+        for _ in range(steps_per_epoch):
+            images, labels = next(train_iter)
+            labels = {k: v for k, v in labels.items()
+                      if not isinstance(v, list)}
+            if mesh is not None:
+                batch = shard_batch(mesh, {"images": images, **labels})
+                images = batch.pop("images")
+                labels = batch
+            state, vals = step_fn(state, images, labels, rng)
+            losses.append(float(vals["loss"]))
+        epoch_loss = float(np.mean(losses))
+        history["loss"].append(epoch_loss)
+        msg = (f"epoch {epoch + 1}/{config.num_epochs} "
+               f"loss={epoch_loss:.4f} ({time.time() - t0:.1f}s)")
+
+        val_loss = None
+        if val_iter_fn is not None and val_steps > 0:
+            vlosses = []
+            vit = val_iter_fn()
+            for _ in range(val_steps):
+                images, labels = next(vit)
+                labels = {k: v for k, v in labels.items()
+                          if not isinstance(v, list)}
+                vvals = eval_fn(state, images, labels)
+                vlosses.append(float(vvals["val_det_loss"]))
+            val_loss = float(np.mean(vlosses))
+            history["val_loss"].append(val_loss)
+            msg += f" val_loss={val_loss:.4f}"
+
+        if coco_eval_fn is not None and config.map_freq and \
+                (epoch + 1) % int(config.map_freq) == 0:
+            ap = coco_eval_fn(state)
+            history.setdefault("AP", []).append(float(ap))
+            msg += f" AP={ap:.4f}"
+
+        log_fn(msg)
+
+        if (epoch + 1) % max(1, int(config.save_freq)) == 0:
+            save_checkpoint(model_dir, state, epoch + 1, keep_last_n=keep_n)
+
+        if val_loss is not None and stopper.update(val_loss, state):
+            log_fn(f"early stopping at epoch {epoch + 1}; restoring best")
+            if stopper.best_state is not None:
+                state = stopper.best_state
+                save_checkpoint(model_dir, state, epoch + 1,
+                                keep_last_n=keep_n)
+            break
+
+    history["final_state"] = state  # type: ignore[assignment]
+    return history
