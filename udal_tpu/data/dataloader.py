@@ -210,6 +210,13 @@ class InputReader:
         boxes, classes = ex.boxes.copy(), ex.classes.copy()
         h, w = image.shape[:2]
 
+        if self._is_training and config.autoaugment_policy:
+            from udal_tpu.data.augment import apply_policy, gridmask
+            image, boxes = apply_policy(config.autoaugment_policy, image,
+                                        boxes, rng)
+            if config.grid_mask:
+                image = gridmask(image, rng=rng)
+
         if self._is_training and config.input_rand_hflip and rng.rand() < 0.5:
             image, boxes = horizontal_flip(image, boxes)
 

@@ -90,21 +90,26 @@ def split_loss_attenuation(box_outputs: Sequence[jnp.ndarray]
     return mus, sigmas
 
 
-def topk_select(cls_outputs: jnp.ndarray, max_nms_inputs: int
+def topk_select(cls_outputs: jnp.ndarray, max_nms_inputs: int,
+                flat_pairs: bool = False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pre-NMS candidate selection — parity `topk_class_boxes`
     (`postprocess.py:90-141`).
 
     Args:
       cls_outputs: [B, N, C] class logits.
-      max_nms_inputs: if > 0, global top-k over (anchor, class) pairs;
-        else per-anchor max-class reduction (keeps all anchors).
+      max_nms_inputs: if > 0, keep only the top-k candidates; else keep all
+        anchors with a per-anchor max-class reduction.
+      flat_pairs: with max_nms_inputs > 0, select over flat (anchor, class)
+        pairs (the reference's explicit max_nms_inputs mode); otherwise
+        per-anchor max-class first, then top-k anchors by score (the
+        reference default reduction plus the candidate cap).
 
     Returns:
       (scores_logits [B, M], classes [B, M] int32, anchor_indices [B, M]).
     """
     b, n, c = cls_outputs.shape
-    if max_nms_inputs > 0:
+    if max_nms_inputs > 0 and flat_pairs:
         flat = cls_outputs.reshape(b, -1)
         top_vals, top_idx = jax.lax.top_k(flat, max_nms_inputs)
         indices = top_idx // c
@@ -112,6 +117,10 @@ def topk_select(cls_outputs: jnp.ndarray, max_nms_inputs: int
         return top_vals, classes.astype(jnp.int32), indices.astype(jnp.int32)
     classes = jnp.argmax(cls_outputs, axis=-1).astype(jnp.int32)
     scores = jnp.max(cls_outputs, axis=-1)
+    if max_nms_inputs > 0:
+        top_vals, indices = jax.lax.top_k(scores, max_nms_inputs)
+        classes = jnp.take_along_axis(classes, indices, axis=1)
+        return top_vals, classes, indices.astype(jnp.int32)
     indices = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
     return scores, classes, indices
 
@@ -154,7 +163,17 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
     if mc_cls:
         cls_all, sigma_cls = mc_moments(cls_all)           # reduce T axis
 
+    # Candidate cap: the reference's global path keeps every anchor and pays
+    # a per-image CPU NMS; on TPU the N-sized gathers/decodes dominate, so we
+    # default to the MAX_DETECTION_POINTS cap (the same bound the reference
+    # applies on its per-class path, `anchors.py:38`) — top-k by max-class
+    # score, which is output-equivalent for max_output_size <= k.
     max_nms_inputs = pre_nms_topk or config.nms_configs.get("max_nms_inputs", 0)
+    if max_nms_inputs <= 0:
+        max_nms_inputs = MAX_DETECTION_POINTS
+    n_total = cls_all.shape[-2]
+    if max_nms_inputs >= n_total:
+        max_nms_inputs = 0        # keep all anchors (max-class reduce path)
     scores_logits, classes, indices = topk_select(cls_all, max_nms_inputs)
     gather = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))
 
