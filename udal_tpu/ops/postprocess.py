@@ -146,10 +146,11 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
     anchors = anchor_lib.from_config(config)
     num_classes = config.num_classes
     loss_att = bool(config.loss_attenuation)
-    mc_cls = bool(config.mc_dropout) and bool(config.mc_classheadrate or
-                                              config.mc_dropoutrate)
-    mc_box = bool(config.mc_dropout) and bool(config.mc_boxheadrate or
-                                              config.mc_dropoutrate)
+    # The sample axis (MC-dropout keys or ensemble members) is detected by
+    # rank: per-level maps are [B, H, W, C] or [T, B, H, W, C]. This keeps
+    # one canonical reduction path for every epistemic estimator.
+    mc_cls = cls_outputs[0].ndim == 5
+    mc_box = box_outputs[0].ndim == 5
 
     sigma_al_lvl = None
     if loss_att:
