@@ -110,6 +110,10 @@ def test_full_model_parity_loss_attenuation(reference_model):
     import efficientdet_keras
     import hparams_config as hc
 
+    # reset Keras layer-name uniquification so the second model gets clean
+    # variable names
+    tf.keras.backend.clear_session()
+
     ref_cfg = hc.get_efficientdet_config("efficientdet-d0")
     ref_cfg.image_size = 128
     ref_cfg.num_classes = 8
