@@ -59,9 +59,9 @@ def _mc_batch_fn(cfg, model):
         cls_s, box_s = jax.vmap(
             lambda k: model.apply(variables, images, train=False,
                                   rngs={"dropout": k}))(keys)
-        cls_s = [c.astype(jnp.float32) for c in cls_s]
-        box_s = [b.astype(jnp.float32) for b in box_s]
-        det = postprocess_global(cfg, cls_s, box_s,
+        # bf16 flows straight into postprocess; only selected candidates are
+        # upcast inside the pipeline
+        det = postprocess_global(cfg, list(cls_s), list(box_s),
                                  image_scales=jnp.ones((images.shape[0],)))
         # reduce to a scalar so the scan carry stays tiny but depends on
         # every output (prevents DCE)

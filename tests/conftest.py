@@ -12,6 +12,9 @@ import os
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+# The reference Keras model (parity tests) needs legacy tf.keras; this must
+# be set before the first tensorflow import anywhere in the session.
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 
 import jax  # noqa: E402
 

@@ -88,3 +88,19 @@ def test_train_mode_updates_batch_stats():
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(np.asarray(b), np.asarray(a))
                for b, a in zip(before, after))
+
+
+def test_qufpn_topology_runs():
+    cfg = _tiny_config(fpn_name="qufpn")
+    model, variables, x = _build(cfg)
+    cls_outs, box_outs = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, x)
+    assert cls_outs[0].shape == (1, 16, 16, 72)
+    assert len(cls_outs) == 5
+
+
+def test_d6_sum_fusion_runs():
+    cfg = _tiny_config(fpn_weight_method="sum")
+    model, variables, x = _build(cfg)
+    cls_outs, _ = model.apply(variables, x, train=False)
+    assert cls_outs[0].shape[-1] == 72

@@ -77,8 +77,9 @@ class ServingDriver:
                                       cfg.mc_dropoutsamp)
         else:
             cls_s, box_s = self.model.apply(variables, images, train=False)
-        return ([c.astype(jnp.float32) for c in cls_s],
-                [b.astype(jnp.float32) for b in box_s])
+        # model compute dtype flows into postprocess; candidates are upcast
+        # to f32 after selection inside the pipeline
+        return list(cls_s), list(box_s)
 
     def _serve_impl(self, variables, raw_images, key):
         cfg = self.config

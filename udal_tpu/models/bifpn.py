@@ -47,6 +47,69 @@ def bifpn_topology(min_level: int, max_level: int) -> List[Dict[str, Any]]:
     return nodes
 
 
+def qufpn_topology(min_level: int, max_level: int) -> List[Dict[str, Any]]:
+    """Quad-path FPN node list — parity `fpn_configs.qufpn_config`
+    (`fpn_configs.py:80-185`): (top-down → bottom-up) + (bottom-up →
+    top-down) plus a final quad-add merge per level."""
+    num_levels = max_level - min_level + 1
+    node_ids = {min_level + i: [i] for i in range(num_levels)}
+    id_cnt = itertools.count(num_levels)
+    nodes: List[Dict[str, Any]] = []
+
+    def last(l):
+        return node_ids[l][-1]
+
+    def first(l):
+        return node_ids[l][0]
+
+    for i in range(max_level - 1, min_level - 1, -1):      # top-down 1
+        nodes.append({"feat_level": i,
+                      "inputs_offsets": [last(i), last(i + 1)]})
+        node_ids[i].append(next(id_cnt))
+    node_ids[max_level].append(node_ids[max_level][-1])
+    for i in range(min_level + 1, max_level):              # bottom-up 2
+        nodes.append({"feat_level": i,
+                      "inputs_offsets": node_ids[i][:] + [last(i - 1)]})
+        node_ids[i].append(next(id_cnt))
+    i = max_level
+    nodes.append({"feat_level": i,
+                  "inputs_offsets": [first(i)] + [last(i - 1)]})
+    node_ids[i].append(next(id_cnt))
+    node_ids[min_level].append(node_ids[min_level][-1])
+    for i in range(min_level + 1, max_level + 1):          # bottom-up 3
+        nodes.append({"feat_level": i,
+                      "inputs_offsets": [
+                          first(i),
+                          last(i - 1) if i != min_level + 1
+                          else first(i - 1)]})
+        node_ids[i].append(next(id_cnt))
+    node_ids[min_level].append(node_ids[min_level][-1])
+    for i in range(max_level - 1, min_level, -1):          # top-down 4
+        nodes.append({"feat_level": i,
+                      "inputs_offsets": [node_ids[i][0], node_ids[i][-1],
+                                         last(i + 1)]})
+        node_ids[i].append(next(id_cnt))
+    i = min_level
+    nodes.append({"feat_level": i,
+                  "inputs_offsets": [node_ids[i][0], last(i + 1)]})
+    node_ids[i].append(next(id_cnt))
+    node_ids[max_level].append(node_ids[max_level][-1])
+    for i in range(max_level, min_level - 1, -1):          # quad-add
+        nodes.append({"feat_level": i,
+                      "inputs_offsets": [node_ids[i][2], node_ids[i][4]]})
+        node_ids[i].append(next(id_cnt))
+    return nodes
+
+
+def get_topology(fpn_name: Optional[str], min_level: int, max_level: int
+                 ) -> List[Dict[str, Any]]:
+    if not fpn_name or fpn_name in ("bifpn", "bifpn_dyn"):
+        return bifpn_topology(min_level, max_level)
+    if fpn_name == "qufpn":
+        return qufpn_topology(min_level, max_level)
+    raise ValueError(f"unknown fpn_name {fpn_name!r}")
+
+
 def nearest_upsample(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
     """Nearest-neighbor resize to (target_h, target_w).
 
@@ -215,6 +278,7 @@ class FPNCell(nn.Module):
     max_level: int
     feat_hw: Tuple[Tuple[int, int], ...]   # (h, w) per level min..max
     fpn_num_filters: int
+    fpn_name: Optional[str] = None
     weight_method: str = "fastattn"
     act_type: str = "swish"
     conv_bn_act_pattern: bool = False
@@ -225,7 +289,7 @@ class FPNCell(nn.Module):
 
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray], train: bool):
-        nodes = bifpn_topology(self.min_level, self.max_level)
+        nodes = get_topology(self.fpn_name, self.min_level, self.max_level)
         all_feats = list(feats)
         for i, node in enumerate(nodes):
             hw = self.feat_hw[node["feat_level"] - self.min_level]
@@ -257,6 +321,7 @@ class FPNCells(nn.Module):
     feat_hw: Tuple[Tuple[int, int], ...]
     fpn_num_filters: int
     fpn_cell_repeats: int
+    fpn_name: Optional[str] = None
     weight_method: str = "fastattn"
     act_type: str = "swish"
     conv_bn_act_pattern: bool = False
@@ -269,7 +334,8 @@ class FPNCells(nn.Module):
     def __call__(self, feats: List[jnp.ndarray], train: bool):
         for rep in range(self.fpn_cell_repeats):
             feats = FPNCell(self.min_level, self.max_level, self.feat_hw,
-                            self.fpn_num_filters, self.weight_method,
+                            self.fpn_num_filters, self.fpn_name,
+                            self.weight_method,
                             self.act_type, self.conv_bn_act_pattern,
                             self.separable_conv, self.apply_bn_for_resampling,
                             self.bn_axis_name, self.dtype,

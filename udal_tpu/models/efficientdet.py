@@ -69,6 +69,7 @@ class EfficientDetNet(nn.Module):
         feats = FPNCells(
             min_level, max_level, feat_hw, cfg.fpn_num_filters,
             cfg.fpn_cell_repeats,
+            fpn_name=cfg.fpn_name,
             weight_method=cfg.fpn_weight_method or "fastattn",
             act_type=cfg.act_type,
             conv_bn_act_pattern=cfg.conv_bn_act_pattern,

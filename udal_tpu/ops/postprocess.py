@@ -189,10 +189,17 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
             return gather(t, indices)
         return jax.vmap(gather, in_axes=(0, None))(t, indices)   # [T, B, N, k]
 
-    box_sel = sel(box_all)
-    sigma_al_sel = sel(sigma_al)
-    sigma_cls_sel = sel(sigma_cls)
-    logits_sel = sel(cls_all) if config.enable_softmax else None
+    # Cast only the selected candidates up to f32 — the full [T?, B, N, ·]
+    # tensors stay in the model compute dtype (bf16-friendly; the merges and
+    # top-k above are HBM-bandwidth-bound).
+    def f32(t):
+        return None if t is None else t.astype(jnp.float32)
+
+    box_sel = f32(sel(box_all))
+    sigma_al_sel = f32(sel(sigma_al))
+    sigma_cls_sel = f32(sel(sigma_cls))
+    logits_sel = f32(sel(cls_all)) if config.enable_softmax else None
+    scores_logits = scores_logits.astype(jnp.float32)
 
     sigma_mc = None
     method = config.uncert_adjust_method

@@ -141,10 +141,13 @@ def mc_moments(stacked: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mean and std over the leading MC-sample axis.
 
     Parity with `utils_extra.py:220-244` (get_mcuncert) but as one fused
-    reduction on device; input is [T, ...].
+    reduction on device; input is [T, ...]. Accumulates in float32 so the
+    surrounding pipeline can stay bf16 (HBM-bandwidth-bound) without losing
+    moment precision.
     """
-    mean = jnp.mean(stacked, axis=0)
-    var = jnp.mean(jnp.square(stacked), axis=0) - jnp.square(mean)
+    x = stacked.astype(jnp.float32)
+    mean = jnp.mean(x, axis=0)
+    var = jnp.mean(jnp.square(x), axis=0) - jnp.square(mean)
     return mean, jnp.sqrt(jnp.maximum(var, 0.0))
 
 
