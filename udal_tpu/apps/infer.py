@@ -217,6 +217,59 @@ class InferImages:
         return rows
 
 
+def consistency_check(driver: ServingDriver, images: np.ndarray,
+                      base_boxes: np.ndarray, base_classes: np.ndarray,
+                      modes: Sequence[str] = ("flip", "blur", "noise"),
+                      rng: Optional[np.random.RandomState] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Prediction consistency under augmentation — parity
+    `infer_model.py:768-830` (consistency_ssl): serve augmented variants,
+    report per-detection mean best-IoU against the augmented predictions and
+    whether the class agrees across all variants.
+
+    Returns (mean_iou [B, K], class_agreement [B, K] bool).
+    """
+    import cv2
+
+    from udal_tpu.apps.calibration import iou_matrix_corners
+
+    rng = rng or np.random.RandomState(0)
+    b, k = base_classes.shape[:2]
+    ious_all = []
+    classes_all = []
+    for mode in modes:
+        if mode == "flip":
+            aug = images[:, :, ::-1]
+        elif mode == "blur":
+            aug = np.stack([cv2.GaussianBlur(im, (9, 9), 0) for im in
+                            np.asarray(images, np.uint8)])
+        elif mode == "noise":
+            aug = np.clip(images + rng.randn(*images.shape) * 12, 0,
+                          255).astype(images.dtype)
+        else:
+            raise ValueError(mode)
+        out = split_serve_outputs(driver.config, driver.serve(aug))
+        boxes_aug = out["boxes"]
+        if mode == "flip":
+            w = images.shape[2]
+            flipped = boxes_aug.copy()
+            flipped[..., 1] = w - boxes_aug[..., 3]
+            flipped[..., 3] = w - boxes_aug[..., 1]
+            boxes_aug = flipped
+        per_image_iou = np.zeros((b, k))
+        per_image_cls = np.zeros((b, k))
+        for i in range(b):
+            m = iou_matrix_corners(base_boxes[i], boxes_aug[i])
+            best = m.argmax(axis=1)
+            per_image_iou[i] = m.max(axis=1)
+            per_image_cls[i] = out["classes"][i][best]
+        ious_all.append(per_image_iou)
+        classes_all.append(per_image_cls)
+    mean_iou = np.mean(np.stack(ious_all), axis=0)
+    agree = np.all(np.stack(classes_all) == base_classes[None], axis=0)
+    return mean_iou, agree
+
+
 def read_prediction_data(path: str) -> List[Dict]:
     """Parse prediction_data.txt (ast.literal_eval per line) — the contract
     consumed by the AL loop and SSL scoring."""
