@@ -91,3 +91,21 @@ def test_swap_in_ema():
                        ema_params={"w": jnp.full((3,), 2.0)})
     v = swap_in_ema(state)
     np.testing.assert_array_equal(np.asarray(v["params"]["w"]), 2.0 * np.ones(3))
+
+
+def test_serve_sharded_over_mesh():
+    import jax
+
+    from udal_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    d = _driver()
+    mesh = make_mesh()
+    imgs = np.random.RandomState(0).randint(0, 255, (8, 64, 64, 3), np.uint8)
+    boxes, scores, classes, valid = d.serve_sharded(mesh, imgs)
+    assert boxes.shape == (8, 100, 4)
+    # results match the unsharded path
+    ref = d._serve_fn(d.variables, jnp.asarray(imgs),
+                      jax.random.PRNGKey(0))
+    assert np.asarray(valid).shape == (8,)

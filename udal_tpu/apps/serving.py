@@ -112,6 +112,25 @@ class ServingDriver:
         self._mc_key, sub = jax.random.split(self._mc_key)
         return run(self.variables, jnp.asarray(raw_images), sub)
 
+    def serve_sharded(self, mesh, raw_images) -> Tuple[jnp.ndarray, ...]:
+        """Serve a pool-sized batch sharded over the mesh's 'data' axis.
+
+        The AL / SSL pool-scoring path (BASELINE config #5): params are
+        replicated, the batch splits across chips, and XLA keeps the whole
+        preprocess→forward→postprocess program SPMD — no per-chip Python.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        self._mc_key, sub = jax.random.split(self._mc_key)
+        fn = jax.jit(self._serve_impl,
+                     in_shardings=(repl, data, repl),
+                     out_shardings=data)
+        images = jax.device_put(jnp.asarray(raw_images), data)
+        variables = jax.device_put(self.variables, repl)
+        return fn(variables, images, sub)
+
     # -- export ---------------------------------------------------------------
 
     def export(self, output_dir: str) -> str:
