@@ -104,3 +104,16 @@ def test_d6_sum_fusion_runs():
     model, variables, x = _build(cfg)
     cls_outs, _ = model.apply(variables, x, train=False)
     assert cls_outs[0].shape[-1] == 72
+
+
+def test_head_only_mc_shares_backbone():
+    cfg = _tiny_config(mc_dropout=True, mc_classheadrate=0.1,
+                       mc_boxheadrate=0.1, is_training_bn=False)
+    model, variables, x = _build(cfg)
+    x = x * 1e4
+    cls_s, box_s = jax.jit(
+        lambda v, x, k: mc_forward(model, v, x, k, num_samples=3)
+    )(variables, x, jax.random.PRNGKey(5))
+    assert cls_s[0].shape[0] == 3
+    # heads still stochastic across samples
+    assert np.asarray(cls_s[0]).std(axis=0).mean() > 0

@@ -26,19 +26,26 @@ from udal_tpu.models.heads import BoxNet, ClassNet, SegmentationHead
 
 
 class EfficientDetNet(nn.Module):
-    """Backbone + BiFPN + heads; returns (cls_outputs, box_outputs) lists."""
+    """Backbone + BiFPN + heads; returns (cls_outputs, box_outputs) lists.
+
+    `method="features"` exposes the FPN feature maps and
+    `method="heads"` runs only the prediction heads — used to factor MC
+    sampling when dropout is confined to the heads (the reference's
+    mc_classheadrate / mc_boxheadrate mode): the backbone+BiFPN run once and
+    only the heads are vmapped over sample keys.
+    """
     config: Config
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False):
+    def setup(self):
         cfg = self.config
         min_level, max_level = cfg.min_level, cfg.max_level
         num_levels = max_level - min_level + 1
         feat_sizes = get_feat_sizes(cfg.image_size, max_level)
         feat_hw = tuple((feat_sizes[l]["height"], feat_sizes[l]["width"])
                         for l in range(min_level, max_level + 1))
+        self._feat_sizes = feat_sizes
 
         mc_boxrate = mc_clsrate = mc_backbone = 0.0
         if cfg.mc_dropout:
@@ -51,22 +58,15 @@ class EfficientDetNet(nn.Module):
             survival_prob = 0.0  # parity: `efficientdet_keras.py:872-873`
         spec = backbone_spec(cfg.backbone_name,
                              survival_prob=survival_prob or None)
-        backbone_outs = EfficientNet(
+        self.backbone = EfficientNet(
             spec, act_type=cfg.act_type, axis_name=self.bn_axis_name,
             mc_dropoutrate=mc_backbone, include_top=False, dtype=self.dtype,
-            name="backbone")(images, train)
-        # [features, r1..r5] — levels 3..5 are reductions 3..5
-        feats = list(backbone_outs[min_level:max_level + 1])
-
-        # extra pyramid levels (P6, P7, ...) by downsampling the last map
-        for level in range(6, max_level + 1):
-            th, tw = feat_sizes[level]["height"], feat_sizes[level]["width"]
-            feats.append(ResampleFeatureMap(
-                cfg.fpn_num_filters, cfg.apply_bn_for_resampling,
-                self.bn_axis_name, self.dtype,
-                name=f"resample_p{level}")(feats[-1], th, tw, train))
-
-        feats = FPNCells(
+            name="backbone")
+        self.resample_layers = [ResampleFeatureMap(
+            cfg.fpn_num_filters, cfg.apply_bn_for_resampling,
+            self.bn_axis_name, self.dtype, name=f"resample_p{level}")
+            for level in range(6, max_level + 1)]
+        self.fpn_cells = FPNCells(
             min_level, max_level, feat_hw, cfg.fpn_num_filters,
             cfg.fpn_cell_repeats,
             fpn_name=cfg.fpn_name,
@@ -76,35 +76,57 @@ class EfficientDetNet(nn.Module):
             separable_conv=cfg.separable_conv,
             apply_bn_for_resampling=cfg.apply_bn_for_resampling,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-            name="fpn_cells")(feats, train)
+            name="fpn_cells")
 
-        outputs = []
         num_anchors = len(cfg.aspect_ratios) * cfg.num_scales
         if "object_detection" in cfg.heads:
-            cls_outputs = ClassNet(
+            self.class_net = ClassNet(
                 num_classes=cfg.num_classes, num_anchors=num_anchors,
                 num_filters=cfg.fpn_num_filters, num_levels=num_levels,
                 repeats=cfg.box_class_repeats,
                 separable_conv=cfg.separable_conv, act_type=cfg.act_type,
                 survival_prob=cfg.survival_prob, mc_dropoutrate=mc_clsrate,
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-                name="class_net")(feats, train)
+                name="class_net")
             # loss attenuation doubles the box output to 8·A (μ, σ)
             extend = 2 * num_anchors if cfg.loss_attenuation else num_anchors
-            box_outputs = BoxNet(
+            self.box_net = BoxNet(
                 num_anchors=extend, num_filters=cfg.fpn_num_filters,
                 num_levels=num_levels, repeats=cfg.box_class_repeats,
                 separable_conv=cfg.separable_conv, act_type=cfg.act_type,
                 survival_prob=cfg.survival_prob, mc_dropoutrate=mc_boxrate,
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-                name="box_net")(feats, train)
-            outputs.extend([cls_outputs, box_outputs])
+                name="box_net")
         if "segmentation" in cfg.heads:
-            outputs.append(SegmentationHead(
+            self.seg_head = SegmentationHead(
                 cfg.seg_num_classes, cfg.fpn_num_filters, num_levels,
-                cfg.act_type, self.bn_axis_name, self.dtype,
-                name="seg_head")(feats, train))
+                cfg.act_type, self.bn_axis_name, self.dtype, name="seg_head")
+
+    def features(self, images: jnp.ndarray, train: bool = False):
+        """Backbone → extra-level resampling → BiFPN feature maps."""
+        cfg = self.config
+        backbone_outs = self.backbone(images, train)
+        # [features, r1..r5] — levels 3..5 are reductions 3..5
+        feats = list(backbone_outs[cfg.min_level:cfg.max_level + 1])
+        for i, level in enumerate(range(6, cfg.max_level + 1)):
+            fs = self._feat_sizes[level]
+            feats.append(self.resample_layers[i](
+                feats[-1], fs["height"], fs["width"], train))
+        return self.fpn_cells(feats, train)
+
+    def predict_heads(self, feats, train: bool = False):
+        """Class/box/segmentation heads over the FPN feature maps."""
+        cfg = self.config
+        outputs = []
+        if "object_detection" in cfg.heads:
+            outputs.append(self.class_net(feats, train))
+            outputs.append(self.box_net(feats, train))
+        if "segmentation" in cfg.heads:
+            outputs.append(self.seg_head(feats, train))
         return tuple(outputs)
+
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        return self.predict_heads(self.features(images, train), train)
 
 
 def mc_forward(model: EfficientDetNet, variables, images: jnp.ndarray,
@@ -115,11 +137,31 @@ def mc_forward(model: EfficientDetNet, variables, images: jnp.ndarray,
     Replaces the reference's Python loop of full forward passes
     (`efficientdet_keras.py:999-1024`). Returns per-level lists with a
     leading sample axis: cls/box tensors of shape [T, B, H, W, C].
+
+    When dropout is confined to the heads (mc_classheadrate/mc_boxheadrate
+    without mc_dropoutrate) the backbone+BiFPN run ONCE and only the heads
+    are vmapped — an optimization the reference's full-forward loop can't
+    express.
     """
+    cfg = model.config
     keys = jax.random.split(key, num_samples)
+    head_only = bool(cfg.mc_dropout) and not cfg.mc_dropoutrate and \
+        bool(cfg.mc_classheadrate or cfg.mc_boxheadrate)
+
+    if head_only:
+        feats = model.apply(variables, images, train,
+                            method=EfficientDetNet.features)
+
+        def heads_pass(k):
+            return model.apply(variables, feats, train,
+                               method=EfficientDetNet.predict_heads,
+                               rngs={"dropout": k})
+
+        return jax.vmap(heads_pass)(keys)
 
     def one_pass(k):
-        return model.apply(variables, images, train=train, rngs={"dropout": k})
+        return model.apply(variables, images, train=train,
+                           rngs={"dropout": k})
 
     return jax.vmap(one_pass)(keys)
 
