@@ -60,9 +60,11 @@ def _mc_batch_fn(cfg, model):
             lambda k: model.apply(variables, images, train=False,
                                   rngs={"dropout": k}))(keys)
         # bf16 flows straight into postprocess; only selected candidates are
-        # upcast inside the pipeline
+        # upcast inside the pipeline; NMS runs as the VMEM-resident Pallas
+        # kernel
         det = postprocess_global(cfg, list(cls_s), list(box_s),
-                                 image_scales=jnp.ones((images.shape[0],)))
+                                 image_scales=jnp.ones((images.shape[0],)),
+                                 use_pallas_nms=True)
         # reduce to a scalar so the scan carry stays tiny but depends on
         # every output (prevents DCE)
         return jnp.sum(det.scores) + jnp.sum(det.boxes) + \

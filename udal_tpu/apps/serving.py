@@ -41,9 +41,10 @@ class ServingDriver:
 
     def __init__(self, config: Config, variables: Any,
                  batch_size: int = 1, dtype=jnp.float32,
-                 mc_seed: int = 0):
+                 mc_seed: int = 0, use_pallas_nms: bool = False):
         self.config = config
         self.batch_size = batch_size
+        self.use_pallas_nms = use_pallas_nms
         self.model = EfficientDetNet(config, dtype=dtype)
         self.variables = variables
         self._mc_key = jax.random.PRNGKey(mc_seed)
@@ -87,7 +88,8 @@ class ServingDriver:
                                            cfg.mean_rgb, cfg.stddev_rgb)
         images = images.astype(self.model.dtype)
         cls_s, box_s = self._forward(variables, images, key)
-        det = postprocess_global(cfg, cls_s, box_s, image_scales=scales)
+        det = postprocess_global(cfg, cls_s, box_s, image_scales=scales,
+                                 use_pallas_nms=self.use_pallas_nms)
         return det.packed()
 
     def serve(self, raw_images) -> Tuple[jnp.ndarray, ...]:

@@ -39,7 +39,10 @@ def _nms_kernel(boxes_ref, scores_ref, idx_ref, score_ref,
     """One image. boxes [4, Np] (coordinate-planar for lane-friendly math),
     scores [1, Np] in VMEM; outputs idx/score [1, Kp]."""
     np_ = scores_ref.shape[-1]
+    kp = idx_ref.shape[-1]
     work_ref[:] = scores_ref[:]
+    idx_ref[:] = jnp.zeros((1, kp), jnp.int32)
+    score_ref[:] = jnp.full((1, kp), NEG_INF, jnp.float32)
 
     y1 = boxes_ref[0:1, :]
     x1 = boxes_ref[1:2, :]
@@ -47,6 +50,7 @@ def _nms_kernel(boxes_ref, scores_ref, idx_ref, score_ref,
     x2 = boxes_ref[3:4, :]
     area = jnp.maximum(y2 - y1, 0.0) * jnp.maximum(x2 - x1, 0.0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)
 
     def body(i, _):
         work = work_ref[:]
@@ -54,13 +58,19 @@ def _nms_kernel(boxes_ref, scores_ref, idx_ref, score_ref,
         # argmax via masked iota-min (ties → lowest index, TF semantics)
         best = jnp.min(jnp.where(work == best_score, lane_idx,
                                  jnp.int32(np_)))
-        idx_ref[0, i] = best
-        score_ref[0, i] = best_score
+        # scalar stores to VMEM are unsupported on TPU: write the pick as a
+        # masked vector update of the output rows
+        sel = out_lane == i
+        idx_ref[:] = jnp.where(sel, best, idx_ref[:])
+        score_ref[:] = jnp.where(sel, best_score, score_ref[:])
 
-        by1 = jnp.take_along_axis(y1, best[None, None], axis=1)
-        bx1 = jnp.take_along_axis(x1, best[None, None], axis=1)
-        by2 = jnp.take_along_axis(y2, best[None, None], axis=1)
-        bx2 = jnp.take_along_axis(x2, best[None, None], axis=1)
+        # extract the best box via masked reduction (dynamic gathers don't
+        # lower on Mosaic)
+        bmask = lane_idx == best
+        by1 = jnp.sum(jnp.where(bmask, y1, 0.0))
+        bx1 = jnp.sum(jnp.where(bmask, x1, 0.0))
+        by2 = jnp.sum(jnp.where(bmask, y2, 0.0))
+        bx2 = jnp.sum(jnp.where(bmask, x2, 0.0))
         barea = jnp.maximum(by2 - by1, 0.0) * jnp.maximum(bx2 - bx1, 0.0)
 
         iy1 = jnp.maximum(y1, by1)
