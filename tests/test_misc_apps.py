@@ -154,3 +154,43 @@ def test_dataset_similarity_and_rank():
     tau, _ = al_eval.rank_correlation({"m1": 0.9, "m2": 0.5, "m3": 0.1},
                                       {"m1": 0.4, "m2": 0.3, "m3": 0.2})
     assert tau == pytest.approx(1.0)
+
+
+def test_plot_gt_and_metrics_writer(tmp_path):
+    from udal_tpu.data.plot_gt import plot_tfrecord_groundtruth
+    from udal_tpu.data.synthetic import write_synthetic_dataset
+    from udal_tpu.utils.metrics_writer import MetricsWriter
+
+    path = str(tmp_path / "d.tfrecord")
+    write_synthetic_dataset(path, num_images=3, height=64, width=96)
+    n = plot_tfrecord_groundtruth(path, str(tmp_path / "plots"))
+    assert n == 3
+    assert len(os.listdir(tmp_path / "plots")) == 3
+
+    mw = MetricsWriter(str(tmp_path / "logs"), use_tensorboard=False)
+    mw.write(1, {"loss": 0.5})
+    mw.write(2, {"loss": 0.4, "ap": 0.1})
+    mw.close()
+    lines = open(tmp_path / "logs" / "metrics.jsonl").read().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[1])["ap"] == 0.1
+
+
+def test_efficientdet_model_wrapper():
+    import jax
+    import jax.numpy as jnp
+
+    from udal_tpu.config import get_detection_config
+    from udal_tpu.models.efficientdet import EfficientDetModel
+
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = 64
+    cfg.num_classes = 8
+    model = EfficientDetModel(cfg)
+    x = jnp.zeros((1, 48, 80, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False))()
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    boxes, scores, classes, valid = out
+    assert boxes.shape == (1, 100, 4)

@@ -166,6 +166,37 @@ def mc_forward(model: EfficientDetNet, variables, images: jnp.ndarray,
     return jax.vmap(one_pass)(keys)
 
 
+class EfficientDetModel(EfficientDetNet):
+    """EfficientDetNet + pre/post-processing in one module call.
+
+    API parity with the reference `EfficientDetModel`
+    (`efficientdet_keras.py:1073-1146`): ``__call__(raw_images)`` runs
+    normalize/resize → network → global NMS postprocess and returns the
+    packed detection tuple. (The serving stack uses `apps.serving.
+    ServingDriver`, which jits the same program with key management.)
+    """
+
+    def __call__(self, raw_images: jnp.ndarray, train: bool = False,
+                 pre_mode: Optional[str] = "infer",
+                 post_mode: Optional[str] = "global"):
+        from udal_tpu.ops.postprocess import (per_class_nms,
+                                              postprocess_global)
+
+        cfg = self.config
+        scales = None
+        images = raw_images
+        if pre_mode == "infer":
+            images, scales = preprocess_images(raw_images, cfg.image_size,
+                                               cfg.mean_rgb, cfg.stddev_rgb)
+            images = images.astype(self.dtype)
+        outs = super().__call__(images, train)
+        if post_mode is None or "object_detection" not in cfg.heads:
+            return outs
+        fn = postprocess_global if post_mode == "global" else per_class_nms
+        det = fn(cfg, list(outs[0]), list(outs[1]), image_scales=scales)
+        return det.packed() + tuple(outs[2:])
+
+
 def preprocess_images(raw_images: jnp.ndarray, image_size, mean_rgb, stddev_rgb
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """uint8 images → normalized, aspect-preserving resized batch + scales.
