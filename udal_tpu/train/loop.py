@@ -75,6 +75,10 @@ def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
     history: Dict[str, List[float]] = {"loss": [], "val_loss": []}
     keep_n = max(2, int(config.get("keep_checkpoint_max", 5) or 5))
 
+    from udal_tpu.utils.metrics_writer import MetricsWriter
+    metrics_writer = MetricsWriter(os.path.join(model_dir, "logs"),
+                                   use_tensorboard=False)
+
     for epoch in range(start_epoch, int(config.num_epochs)):
         t0 = time.time()
         losses = []
@@ -114,6 +118,9 @@ def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
             msg += f" AP={ap:.4f}"
 
         log_fn(msg)
+        metrics_writer.write(epoch + 1, {
+            "loss": epoch_loss,
+            **({"val_loss": val_loss} if val_loss is not None else {})})
 
         if (epoch + 1) % max(1, int(config.save_freq)) == 0:
             save_checkpoint(model_dir, state, epoch + 1, keep_last_n=keep_n)

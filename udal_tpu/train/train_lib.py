@@ -46,7 +46,11 @@ def create_train_state(config, rng: jax.Array, steps_per_epoch: int,
     """Initialize model variables + optimizer state."""
     from udal_tpu.config import parse_image_size
 
-    model = EfficientDetNet(config)
+    # mixed precision: bf16 compute (TPU-native; replaces the reference's
+    # fp16 + LossScaleOptimizer, which bf16 makes unnecessary —
+    # `train_lib.py:1771-1785`), f32 params/grads
+    dtype = jnp.bfloat16 if config.mixed_precision else jnp.float32
+    model = EfficientDetNet(config, dtype=dtype)
     h, w = image_shape or parse_image_size(config.image_size)
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
     params_rng, dropout_rng = jax.random.split(rng)
