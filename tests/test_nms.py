@@ -70,3 +70,33 @@ def test_batched_nms_shapes():
     res = nms_lib.batched_soft_nms(boxes, scores, 10)
     assert res.indices.shape == (4, 10)
     assert res.valid_len.shape == (4,)
+
+
+def test_per_class_nms_keeps_cross_class_overlaps():
+    import jax.numpy as jnp
+
+    from udal_tpu.config import get_detection_config
+    from udal_tpu.ops.postprocess import per_class_nms, postprocess_global
+
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = 64
+    cfg.num_classes = 8
+    cfg.nms_configs["method"] = "hard"
+    cfg.nms_configs["score_thresh"] = 1e-4
+
+    # craft per-level outputs where two overlapping anchors carry two
+    # different confident classes
+    levels = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+    cls_outputs = [jnp.full((1, h, w, 72), -9.0) for h, w in levels]
+    box_outputs = [jnp.zeros((1, h, w, 36)) for h, w in levels]
+    c0 = np.array(cls_outputs[0])
+    c0[0, 4, 4, 0 * 8 + 1] = 4.0   # anchor 0, class idx 1
+    c0[0, 4, 4, 1 * 8 + 2] = 3.5   # anchor 1 (overlapping), class idx 2
+    cls_outputs[0] = jnp.asarray(c0)
+
+    g = postprocess_global(cfg, cls_outputs, box_outputs)
+    p = per_class_nms(cfg, cls_outputs, box_outputs)
+    # global NMS suppresses the overlap; per-class keeps both classes
+    assert int(p.valid_len[0]) >= int(g.valid_len[0])
+    kept_classes = set(np.asarray(p.classes[0])[:int(p.valid_len[0])].tolist())
+    assert {2.0, 3.0} <= kept_classes
