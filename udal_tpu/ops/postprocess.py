@@ -164,11 +164,38 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
     if mc_cls:
         cls_all, sigma_cls = mc_moments(cls_all)           # reduce T axis
 
+    # Decode + sample-reduce BEFORE candidate selection: the elementwise
+    # decode commutes with the gather exactly, and the moment reductions
+    # collapse the T axis to [B, N, 4] — so the only gathers left are cheap
+    # streaming selections from already-reduced tensors (per-sample
+    # [T, B, N, ·] gathers dominated the postprocess cost).
+    anchor_boxes = anchors.boxes
+    sigma_mc_full = None
+    method = config.uncert_adjust_method
+    if loss_att and not mc_box:
+        boxes_full, sigma_al_full = decode_uncert(
+            box_all, sigma_al, anchor_boxes, method=method,
+            n_samples=config.decode_nsamples)
+    elif mc_box and loss_att:
+        boxes_t, sig_t = decode_uncert(box_all, sigma_al, anchor_boxes,
+                                       method=method,
+                                       n_samples=config.decode_nsamples)
+        boxes_full, sigma_mc_full = mc_moments(boxes_t)
+        sigma_al_full = jnp.mean(sig_t.astype(jnp.float32), axis=0)
+    elif mc_box:
+        boxes_t = anchor_lib.decode_box_outputs(box_all, anchor_boxes)
+        boxes_full, sigma_mc_full = mc_moments(boxes_t)
+        sigma_al_full = None
+    else:
+        boxes_full = anchor_lib.decode_box_outputs(
+            box_all.astype(jnp.float32), anchor_boxes)
+        sigma_al_full = None
+
     # Candidate cap: the reference's global path keeps every anchor and pays
-    # a per-image CPU NMS; on TPU the N-sized gathers/decodes dominate, so we
-    # default to the MAX_DETECTION_POINTS cap (the same bound the reference
-    # applies on its per-class path, `anchors.py:38`) — top-k by max-class
-    # score, which is output-equivalent for max_output_size <= k.
+    # a per-image CPU NMS; on TPU the N-sized downstream work dominates, so
+    # we default to the MAX_DETECTION_POINTS cap (the same bound the
+    # reference applies on its per-class path, `anchors.py:38`) — top-k by
+    # max-class score, output-equivalent for max_output_size <= k.
     max_nms_inputs = pre_nms_topk or config.nms_configs.get("max_nms_inputs", 0)
     if max_nms_inputs <= 0:
         max_nms_inputs = MAX_DETECTION_POINTS
@@ -178,54 +205,17 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
     scores_logits, classes, indices = topk_select(cls_all, max_nms_inputs)
     gather = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))
 
-    # gather candidate anchors per image
-    anchor_sel = jax.vmap(lambda i: jnp.take(anchors.boxes, i, axis=0))(indices)
-
     def sel(t):
-        """Gather candidate anchors from [T?, B, N, k] along N."""
         if t is None:
             return None
-        if t.ndim == indices.ndim + 1:      # [B, N, k]
-            return gather(t, indices)
-        return jax.vmap(gather, in_axes=(0, None))(t, indices)   # [T, B, N, k]
+        return gather(t, indices).astype(jnp.float32)
 
-    # Cast only the selected candidates up to f32 — the full [T?, B, N, ·]
-    # tensors stay in the model compute dtype (bf16-friendly; the merges and
-    # top-k above are HBM-bandwidth-bound).
-    def f32(t):
-        return None if t is None else t.astype(jnp.float32)
-
-    box_sel = f32(sel(box_all))
-    sigma_al_sel = f32(sel(sigma_al))
-    sigma_cls_sel = f32(sel(sigma_cls))
-    logits_sel = f32(sel(cls_all)) if config.enable_softmax else None
-    scores_logits = scores_logits.astype(jnp.float32)
-
-    sigma_mc = None
-    method = config.uncert_adjust_method
-    if loss_att and not mc_box:
-        boxes, sigma_al_out = decode_uncert(box_sel, sigma_al_sel, anchor_sel,
-                                            method=method,
-                                            n_samples=config.decode_nsamples)
-    elif mc_box and loss_att:
-        dec = jax.vmap(lambda m, s: decode_uncert(
-            m, s, anchor_sel, method=method,
-            n_samples=config.decode_nsamples))(box_sel, sigma_al_sel)
-        boxes_t, sig_t = dec                                  # [T, B, M, 4]
-        boxes, sigma_mc = mc_moments(boxes_t)
-        sigma_al_out = jnp.mean(sig_t, axis=0)
-    elif mc_box:
-        boxes_t = jax.vmap(lambda m: anchor_lib.decode_box_outputs(
-            m, anchor_sel))(box_sel)
-        boxes, sigma_mc = mc_moments(boxes_t)
-        sigma_al_out = None
-    else:
-        boxes = anchor_lib.decode_box_outputs(box_sel, anchor_sel)
-        sigma_al_out = None
-
-    return dict(boxes=boxes, scores_logits=scores_logits, classes=classes,
-                indices=indices, sigma_al=sigma_al_out, sigma_mc=sigma_mc,
-                sigma_cls=sigma_cls_sel, logits=logits_sel)
+    return dict(boxes=sel(boxes_full),
+                scores_logits=scores_logits.astype(jnp.float32),
+                classes=classes, indices=indices,
+                sigma_al=sel(sigma_al_full), sigma_mc=sel(sigma_mc_full),
+                sigma_cls=sel(sigma_cls),
+                logits=sel(cls_all) if config.enable_softmax else None)
 
 
 def postprocess_global(config, cls_outputs, box_outputs, image_scales=None,
