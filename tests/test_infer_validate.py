@@ -95,3 +95,13 @@ def test_write_kitti_labels(tmp_path):
     assert line[0] == "car"
     assert float(line[4]) == 2.0 and float(line[5]) == 1.0
     assert float(line[-1]) == 0.9
+
+
+def test_validator_infer_augment(tmp_path, driver, synth_batches):
+    v = Validator(driver, str(tmp_path), infer_augment=["heq", "flip"])
+    rows = v.run(synth_batches[:1])
+    tags = {r["image_name"].split("@")[1] for r in rows
+            if "@" in r["image_name"]}
+    # augmented variants contributed rows alongside the clean pass
+    assert tags <= {"histeq", "vflip", "hflip"}
+    assert any("@" not in r["image_name"] for r in rows)

@@ -34,10 +34,16 @@ class Validator:
     """Batched validation with uncertainty artifacts."""
 
     def __init__(self, driver: ServingDriver, save_dir: str,
-                 calib_dir: Optional[str] = None):
+                 calib_dir: Optional[str] = None,
+                 infer_augment: Optional[List[str]] = None):
         self.driver = driver
         self.config = driver.config
         self.save_dir = save_dir
+        # infer-time augmentation modes ⊆ {heq, alb, aug, flip} — parity
+        # `validate_model.py:485-523`
+        self.infer_augment = infer_augment or \
+            (self.config.infer_augment if isinstance(
+                self.config.infer_augment, (list, tuple)) else None)
         os.makedirs(save_dir, exist_ok=True)
         self.box_calib = self.cls_calib = None
         if calib_dir and os.path.isdir(calib_dir):
@@ -56,6 +62,19 @@ class Validator:
         rows: List[Dict] = []
         all_scores: List[float] = []
         for images, labels in batches:
+            if self.infer_augment:
+                for aug_images, tag in self._augment_variants(images):
+                    out_a = split_serve_outputs(self.config,
+                                                self.driver.serve(aug_images))
+                    gt = np.asarray(labels["groundtruth_data"])
+                    scales = np.asarray(labels.get(
+                        "image_scales", np.ones(images.shape[0])))
+                    names = labels.get("image_names",
+                                       labels.get("source_ids", []))
+                    for i in range(images.shape[0]):
+                        name = f"{names[i]}@{tag}" if len(names) > i else tag
+                        rows.extend(self._process_image(
+                            out_a, i, gt[i], scales[i], name, all_scores))
             t0 = time.perf_counter()
             out = split_serve_outputs(self.config, self.driver.serve(images))
             self.runtimes.append(time.perf_counter() - t0)
@@ -74,6 +93,35 @@ class Validator:
         self._write_performance(rows, all_scores)
         self._write_runtimes()
         return rows
+
+    def _augment_variants(self, images: np.ndarray):
+        """Yield (augmented batch, tag) per configured infer_augment mode —
+        parity `validate_model.py:485-523` (heq / alb weather / aug
+        corruption ladders / flips)."""
+        import cv2
+
+        from udal_tpu.data.augment import add_weather, apply_corruption
+
+        imgs = np.asarray(images, np.uint8)
+        if "heq" in self.infer_augment:
+            out = []
+            for im in imgs:
+                yuv = cv2.cvtColor(im, cv2.COLOR_RGB2YUV)
+                yuv[:, :, 0] = cv2.equalizeHist(yuv[:, :, 0])
+                out.append(cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB))
+            yield np.stack(out), "histeq"
+        if "alb" in self.infer_augment:
+            for weather in ("snow", "fog", "rain", "noise"):
+                yield np.stack([add_weather(im, weather) for im in imgs]), \
+                    weather
+        if "aug" in self.infer_augment:
+            for kind in ("ns", "mb", "ct", "br"):
+                ladders = [apply_corruption(kind, im) for im in imgs]
+                for s in range(len(ladders[0])):
+                    yield np.stack([lad[s] for lad in ladders]), f"{kind}{s}"
+        if "flip" in self.infer_augment:
+            yield imgs[:, ::-1].copy(), "vflip"
+            yield imgs[:, :, ::-1].copy(), "hflip"
 
     def _process_image(self, out, i, gt_rows, scale, name, all_scores):
         n_val = int(out["valid_len"][i])
