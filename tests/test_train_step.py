@@ -83,3 +83,28 @@ def test_ema_params_track():
     p0 = jax.tree_util.tree_leaves(new_state.params)[0]
     e0 = jax.tree_util.tree_leaves(new_state.ema_params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(e0))
+
+
+def test_train_step_stac_split():
+    cfg, model, state, tx, schedule, images, labels = _setup(
+        batch=4, ssl_method="STAC", unlabeled_start=2, stac_lambda=0.5)
+    # append a pseudo-score column to groundtruth_data
+    gt = np.asarray(labels["groundtruth_data"])
+    scores = np.concatenate([np.full((4, gt.shape[1], 1), 0.8, np.float32)],
+                            axis=-1)
+    labels = dict(labels)
+    labels["groundtruth_data"] = np.concatenate([gt, scores], axis=-1)
+    step_fn = make_jitted_train_step(cfg, model, tx, schedule, 10)
+    state, vals = step_fn(state, images, labels, jax.random.PRNGKey(1))
+    assert np.isfinite(float(vals["loss"]))
+    assert "pseudo_det_loss" in vals
+
+
+def test_train_step_csd():
+    cfg, model, state, tx, schedule, images, labels = _setup(
+        batch=4, ssl_method="CSD", unlabeled_start=2, csd_ramp=True,
+        csd_BE=True, csd_BE_thr=0.0)
+    step_fn = make_jitted_train_step(cfg, model, tx, schedule, 10)
+    state, vals = step_fn(state, images, labels, jax.random.PRNGKey(1))
+    assert np.isfinite(float(vals["loss"]))
+    assert "unsup_cls_loss" in vals and "unsup_box_loss" in vals
