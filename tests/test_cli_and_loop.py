@@ -82,3 +82,18 @@ def test_cli_inspect_calibrate(tmp_path, dataset):
               "--output_dir", out_dir])
     # calibrators written when enough matched pairs were gathered
     assert os.path.isdir(out_dir)
+
+
+def test_cli_train_one_epoch(tmp_path, dataset):
+    from udal_tpu import cli
+    from udal_tpu.utils.checkpoint import latest_checkpoint
+
+    model_dir = str(tmp_path / "cli_model")
+    cli.main(["train", "--model_name", "efficientdet-d0",
+              "--model_dir", model_dir,
+              "--hparams", "num_classes=8,image_size=64,mixed_precision=True",
+              "--batch_size", "4", "--num_epochs", "1",
+              "--train_file_pattern", dataset,
+              "--steps_per_epoch", "2"])
+    assert latest_checkpoint(model_dir) == 1
+    assert os.path.exists(os.path.join(model_dir, "config.yaml"))
