@@ -148,3 +148,120 @@ def test_full_model_parity_loss_attenuation(reference_model):
         np.testing.assert_allclose(np.asarray(box_out[lvl]),
                                    np.asarray(ref_box[lvl]),
                                    rtol=1e-3, atol=2e-4)
+
+
+def test_postprocess_global_parity(reference_model):
+    """End-to-end postprocess parity: merge levels → decode → soft-NMS →
+    packing, against the reference TF `postprocess_global`
+    (`postprocess.py:472-621`) in plain detection mode."""
+    import numpy as np
+    import tensorflow as tf
+
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import hparams_config as hc
+    import postprocess as ref_post
+
+    ref_cfg = hc.get_efficientdet_config("efficientdet-d0")
+    ref_cfg.image_size = 128
+    ref_cfg.num_classes = 8
+    # NOTE: enable_softmax=True — the reference's plain-detection branch of
+    # extract_uncertainties ends in `return list.append(None)` (None), i.e.
+    # postprocess_global is only executable on the softmax path.
+    ref_cfg.enable_softmax = True
+    params = ref_cfg.as_dict()
+    params["mc_dropout"] = False
+
+    rng = np.random.RandomState(3)
+    levels = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    cls_outputs = [rng.randn(2, h, w, 72).astype(np.float32) * 2
+                   for h, w in levels]
+    box_outputs = [rng.randn(2, h, w, 36).astype(np.float32) * 0.3
+                   for h, w in levels]
+    scales = np.asarray([2.0, 1.5], np.float32)
+
+    (ref_boxes, ref_scores, ref_classes, ref_valid,
+     ref_logits) = ref_post.postprocess_global(
+        params, [tf.constant(c) for c in cls_outputs],
+        [tf.constant(b) for b in box_outputs], tf.constant(scales))
+
+    from udal_tpu.config import get_detection_config
+    from udal_tpu.ops.postprocess import postprocess_global
+
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = 128
+    cfg.num_classes = 8
+    cfg.enable_softmax = True
+    det = postprocess_global(cfg, cls_outputs, box_outputs,
+                             image_scales=scales)
+
+    for b in range(2):
+        n_ref = int(ref_valid[b])
+        n_ours = int(det.valid_len[b])
+        assert n_ours == n_ref, f"valid_len mismatch image {b}"
+        np.testing.assert_allclose(np.asarray(det.scores)[b, :n_ref],
+                                   ref_scores[b, :n_ref].numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(det.boxes)[b, :n_ref],
+                                   ref_boxes[b, :n_ref].numpy(),
+                                   rtol=1e-3, atol=0.05)
+        np.testing.assert_array_equal(
+            np.asarray(det.classes)[b, :n_ref],
+            ref_classes[b, :n_ref].numpy())
+
+
+def test_postprocess_loss_attenuation_parity(reference_model):
+    """Uncertainty postprocess parity: 8·A box channels, l-norm decode,
+    sigma packing — vs the reference (`postprocess.py:144-341,591-621`)."""
+    import numpy as np
+    import tensorflow as tf
+
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import hparams_config as hc
+    import postprocess as ref_post
+
+    ref_cfg = hc.get_efficientdet_config("efficientdet-d0")
+    ref_cfg.image_size = 128
+    ref_cfg.num_classes = 8
+    ref_cfg.enable_softmax = True
+    ref_cfg.loss_attenuation = True
+    params = ref_cfg.as_dict()
+
+    rng = np.random.RandomState(5)
+    levels = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    cls_outputs = [rng.randn(2, h, w, 72).astype(np.float32) * 2
+                   for h, w in levels]
+    box_outputs = [np.concatenate([
+        rng.randn(2, h, w, 36).astype(np.float32) * 0.3,
+        (np.abs(rng.randn(2, h, w, 36)) * 0.1 + 0.02).astype(np.float32)],
+        axis=-1) for h, w in levels]
+    scales = np.asarray([2.0, 1.5], np.float32)
+
+    ref_out = ref_post.postprocess_global(
+        params, [tf.constant(c) for c in cls_outputs],
+        [tf.constant(b) for b in box_outputs], tf.constant(scales))
+    ref_boxes, ref_scores, ref_classes, ref_valid, ref_logits = ref_out
+
+    from udal_tpu.config import get_detection_config
+    from udal_tpu.ops.postprocess import postprocess_global
+
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = 128
+    cfg.num_classes = 8
+    cfg.enable_softmax = True
+    cfg.loss_attenuation = True
+    det = postprocess_global(cfg, cls_outputs, box_outputs,
+                             image_scales=scales)
+    packed = det.packed()
+
+    for b in range(2):
+        n = int(ref_valid[b])
+        assert int(det.valid_len[b]) == n
+        # boxes ⊕ sigma_al (8 columns in the reference's packed box tensor)
+        np.testing.assert_allclose(np.asarray(packed[0])[b, :n],
+                                   ref_boxes[b, :n].numpy(),
+                                   rtol=1e-3, atol=0.05)
+        np.testing.assert_allclose(np.asarray(det.scores)[b, :n],
+                                   ref_scores[b, :n].numpy(),
+                                   rtol=1e-4, atol=1e-5)
