@@ -91,3 +91,63 @@ def test_label_maps():
     lm, src, names, shape, _ = get_dataset_data("models/KITTI_test")
     assert shape == [375, 1220]
     assert names[0] == "Car"
+
+
+def test_prefetch_feeds_at_line_rate(synth):
+    """VERDICT r1 #2: with background prefetch, a consumer whose per-step
+    compute dominates sees ~zero input wait — step time matches a purely
+    synthetic in-memory feed."""
+    import time
+
+    path, _ = synth
+    cfg = _config()
+    step_s = 0.02
+    n_steps = 12
+
+    # real TFRecord input through the prefetching reader
+    reader = InputReader(path, is_training=True, seed=3, prefetch=3)
+    it = reader(cfg, batch_size=2)
+    next(it)  # first batch: producer warm-up, excluded from the wait stats
+    reader._wait_s = reader._total_s = 0.0
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        next(it)
+        time.sleep(step_s)  # simulated train step
+    real_wall = time.perf_counter() - t0
+    it.close()
+    stats = reader.wait_stats()
+
+    # synthetic in-memory feed (zero input cost)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        time.sleep(step_s)
+    synth_wall = time.perf_counter() - t0
+
+    assert stats["wait_fraction"] < 0.25, stats
+    assert real_wall < synth_wall * 1.5, (real_wall, synth_wall, stats)
+
+
+def test_prefetch_shard_selection(synth):
+    """Per-host sharding reads a strided subset of the record index."""
+    path, _ = synth
+    cfg = _config()
+    r0 = InputReader(path, is_training=False, prefetch=2, shard_id=0,
+                     num_shards=2, names=True)
+    r1 = InputReader(path, is_training=False, prefetch=2, shard_id=1,
+                     num_shards=2, names=True)
+    b0 = list(r0(cfg, batch_size=2))
+    b1 = list(r1(cfg, batch_size=2))
+    assert len(b0) == len(b1) == 2
+    names0 = {n for _, l in b0 for n in l["image_names"]}
+    names1 = {n for _, l in b1 for n in l["image_names"]}
+    assert names0.isdisjoint(names1)
+    assert len(names0 | names1) == 8
+
+
+def test_prefetch_propagates_producer_errors(tmp_path):
+    cfg = _config()
+    missing = str(tmp_path / "nope*.tfrecord")
+    reader = InputReader(missing, is_training=False, prefetch=2)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        next(reader(cfg, batch_size=1))

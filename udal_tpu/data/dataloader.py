@@ -17,7 +17,9 @@ from __future__ import annotations
 import concurrent.futures as futures
 import dataclasses
 import glob as globlib
+import queue as queuelib
 import threading
+import time
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -182,7 +184,24 @@ class InputReader:
 
     def __init__(self, file_pattern: str, is_training: bool,
                  use_fake_data: bool = False, max_instances_per_image: int = 100,
-                 names: bool = False, num_workers: int = 8, seed: int = 0):
+                 names: bool = False, num_workers: int = 8, seed: int = 0,
+                 prefetch: int = 2, device_put: bool = False,
+                 shard_id: Optional[int] = None,
+                 num_shards: Optional[int] = None):
+        """Args beyond the reference contract (``dataloader.py:251-268``):
+
+        prefetch: depth of the background producer queue. Batches are
+          decoded/augmented/anchor-labeled on a producer thread while the
+          consumer (train step) runs — replaces tf.data's
+          ``prefetch(AUTOTUNE)`` (`/root/reference/src/dataloader.py:556`).
+          0 disables (synchronous, useful in tests).
+        device_put: transfer each batch to the default device from the
+          producer thread, overlapping H2D copies with compute.
+        shard_id / num_shards: per-host input sharding — each process reads
+          the strided subset ``records[shard_id::num_shards]`` (replaces
+          ``input_context.shard``, `/root/reference/src/dataloader.py:508-511`).
+          Default: `jax.process_index()` / `jax.process_count()`.
+        """
         self._file_pattern = file_pattern
         self._is_training = is_training
         self._use_fake_data = use_fake_data
@@ -190,7 +209,23 @@ class InputReader:
         self._names = names
         self._num_workers = num_workers
         self._seed = seed
+        self._prefetch = prefetch
+        self._device_put = device_put
+        self._shard_id = shard_id
+        self._num_shards = num_shards
         self._index: Optional[tfr.TFRecordIndex] = None
+        # consumer-side starvation accounting (seconds blocked on the queue
+        # vs total); read via `wait_stats()` after/while iterating
+        self._wait_s = 0.0
+        self._total_s = 0.0
+
+    def wait_stats(self) -> Dict[str, float]:
+        """Seconds the consumer spent starved waiting for input, and the
+        fraction of total iteration wall-time. ~0 ⇒ pipeline feeds at line
+        rate (the reference never measures this; BASELINE.json requires it)."""
+        total = max(self._total_s, 1e-9)
+        return {"wait_s": self._wait_s, "total_s": self._total_s,
+                "wait_fraction": self._wait_s / total}
 
     def _get_index(self) -> tfr.TFRecordIndex:
         if self._index is None:
@@ -251,9 +286,77 @@ class InputReader:
 
     def __call__(self, config, batch_size: int) -> Iterator:
         """Yield (images, labels) batches; labels include per-level targets,
-        groundtruth_data, image_scales and source ids."""
+        groundtruth_data, image_scales and source ids.
+
+        With ``prefetch > 0`` batches are produced by a background thread
+        into a bounded queue (and optionally device_put there), so the
+        consumer's wait time is ~0 when compute is the bottleneck."""
+        if self._prefetch <= 0:
+            yield from self._batches(config, batch_size)
+            return
+
+        q: queuelib.Queue = queuelib.Queue(maxsize=self._prefetch)
+        stop = threading.Event()
+        _END = object()
+
+        def producer():
+            try:
+                for batch in self._batches(config, batch_size):
+                    if self._device_put:
+                        import jax
+                        images, labels = batch
+                        images = jax.device_put(images)
+                        labels = {
+                            k: (jax.device_put(v)
+                                if isinstance(v, np.ndarray) else v)
+                            for k, v in labels.items()}
+                        batch = (images, labels)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.25)
+                            break
+                        except queuelib.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(_END)
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+
+        thread = threading.Thread(target=producer, daemon=True,
+                                  name="input-reader-producer")
+        thread.start()
+        try:
+            t_iter = time.perf_counter()
+            while True:
+                t0 = time.perf_counter()
+                item = q.get()
+                now = time.perf_counter()
+                self._wait_s += now - t0
+                self._total_s += now - t_iter
+                t_iter = now
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def _batches(self, config, batch_size: int) -> Iterator:
+        """Synchronous batch generator (the producer body)."""
         index = self._get_index()
         order = np.arange(len(index))
+        if self._shard_id is not None or self._num_shards is not None:
+            shard_id, num_shards = self._shard_id or 0, self._num_shards or 1
+        else:
+            try:
+                import jax
+                shard_id, num_shards = jax.process_index(), jax.process_count()
+            except Exception:
+                shard_id, num_shards = 0, 1
+        if num_shards > 1:
+            order = order[shard_id::num_shards]
         rng = np.random.RandomState(self._seed)
         epoch = 0
         pool = futures.ThreadPoolExecutor(self._num_workers)
