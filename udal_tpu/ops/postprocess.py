@@ -142,6 +142,19 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
     Returns a dict with canonical [B, M, ...] tensors:
       boxes, scores(logits), classes, indices, sigma_al?, sigma_mc?,
       sigma_cls?, logits_mean?
+
+    TPU design note: candidates are selected FIRST (top-k on the per-anchor
+    max of the T-mean class logits — the same score the reference ranks by),
+    and the per-sample box tensors are only gathered/decoded for the M kept
+    candidates. The elementwise decode and the T-moment reductions commute
+    exactly with the gather, so results are identical to decode-everything —
+    but the [T, B, N, ·] decode/moment traffic (hundreds of MB per step at
+    the d0 operating point) collapses to [T, B, M, ·]. All big tensors are
+    kept ANCHOR-MINOR ([..., channels, H·W]): the position axis lives on the
+    128-wide lane dimension, so reductions, top-k and the candidate gathers
+    run at full lane utilization instead of padding 4-/8-/9-sized minor dims
+    to 128. (Class channels factor as (anchor, class) and LA box channels as
+    (mu/sigma-half, anchor, coord); the flat candidate index is a·R + r.)
     """
     anchors = anchor_lib.from_config(config)
     num_classes = config.num_classes
@@ -151,45 +164,28 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
     # one canonical reduction path for every epistemic estimator.
     mc_cls = cls_outputs[0].ndim == 5
     mc_box = box_outputs[0].ndim == 5
+    num_anc = len(config.aspect_ratios) * config.num_scales
+    halves = 2 if loss_att else 1
 
-    sigma_al_lvl = None
-    if loss_att:
-        box_outputs, sigma_al_lvl = split_loss_attenuation(box_outputs)
+    def to_pos_minor(t):     # [T?, B, H, W, ch] -> [T?, B, ch, H*W]
+        lead = t.shape[:-3]
+        t = t.reshape(lead + (t.shape[-3] * t.shape[-2], t.shape[-1]))
+        return jnp.swapaxes(t, -1, -2)
 
-    cls_all = merge_levels(cls_outputs, num_classes)       # [T?, B, N, C]
-    box_all = merge_levels(box_outputs, 4)                 # [T?, B, N, 4]
-    sigma_al = merge_levels(sigma_al_lvl, 4) if loss_att else None
+    cls_t = jnp.concatenate([to_pos_minor(t) for t in cls_outputs], axis=-1)
+    box_t = jnp.concatenate([to_pos_minor(t) for t in box_outputs], axis=-1)
 
-    sigma_cls = None
+    sigma_cls_t = None
     if mc_cls:
-        cls_all, sigma_cls = mc_moments(cls_all)           # reduce T axis
+        cls_t, sigma_cls_t = mc_moments(cls_t)             # [B, A*C, R]
 
-    # Decode + sample-reduce BEFORE candidate selection: the elementwise
-    # decode commutes with the gather exactly, and the moment reductions
-    # collapse the T axis to [B, N, 4] — so the only gathers left are cheap
-    # streaming selections from already-reduced tensors (per-sample
-    # [T, B, N, ·] gathers dominated the postprocess cost).
-    anchor_boxes = anchors.boxes
-    sigma_mc_full = None
-    method = config.uncert_adjust_method
-    if loss_att and not mc_box:
-        boxes_full, sigma_al_full = decode_uncert(
-            box_all, sigma_al, anchor_boxes, method=method,
-            n_samples=config.decode_nsamples)
-    elif mc_box and loss_att:
-        boxes_t, sig_t = decode_uncert(box_all, sigma_al, anchor_boxes,
-                                       method=method,
-                                       n_samples=config.decode_nsamples)
-        boxes_full, sigma_mc_full = mc_moments(boxes_t)
-        sigma_al_full = jnp.mean(sig_t.astype(jnp.float32), axis=0)
-    elif mc_box:
-        boxes_t = anchor_lib.decode_box_outputs(box_all, anchor_boxes)
-        boxes_full, sigma_mc_full = mc_moments(boxes_t)
-        sigma_al_full = None
-    else:
-        boxes_full = anchor_lib.decode_box_outputs(
-            box_all.astype(jnp.float32), anchor_boxes)
-        sigma_al_full = None
+    r_len = cls_t.shape[-1]
+    b = cls_t.shape[-3]
+    cls_acr = cls_t.reshape(b, num_anc, num_classes, r_len)
+    scores_ar = jnp.max(cls_acr, axis=2)                   # [B, A, R]
+    classes_ar = jnp.argmax(cls_acr, axis=2).astype(jnp.int32)
+    n_total = num_anc * r_len
+    scores_flat = scores_ar.reshape(b, n_total)            # flat n = a*R + r
 
     # Candidate cap: the reference's global path keeps every anchor and pays
     # a per-image CPU NMS; on TPU the N-sized downstream work dominates, so
@@ -199,23 +195,83 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
     max_nms_inputs = pre_nms_topk or config.nms_configs.get("max_nms_inputs", 0)
     if max_nms_inputs <= 0:
         max_nms_inputs = MAX_DETECTION_POINTS
-    n_total = cls_all.shape[-2]
     if max_nms_inputs >= n_total:
-        max_nms_inputs = 0        # keep all anchors (max-class reduce path)
-    scores_logits, classes, indices = topk_select(cls_all, max_nms_inputs)
-    gather = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))
+        flat_idx = jnp.broadcast_to(
+            jnp.arange(n_total, dtype=jnp.int32)[None], (b, n_total))
+        scores_logits = scores_flat
+    else:
+        scores_logits, flat_idx = jax.lax.top_k(scores_flat, max_nms_inputs)
+        flat_idx = flat_idx.astype(jnp.int32)
 
-    def sel(t):
+    rows = flat_idx % r_len                                # [B, M]
+    anc = flat_idx // r_len
+    # anchor index in the reference (level, h, w, a) ordering
+    indices = rows * num_anc + anc
+
+    def gather_cls(t):       # [B, A, C, R] -> [B, M, C]
         if t is None:
             return None
-        return gather(t, indices).astype(jnp.float32)
+        g = jnp.take_along_axis(t, rows[:, None, None, :], axis=3)
+        g = jnp.take_along_axis(g, anc[:, None, None, :], axis=1)[:, 0]
+        return jnp.swapaxes(g, -1, -2)                     # [B, M, C]
 
-    return dict(boxes=sel(boxes_full),
+    g = jnp.take_along_axis(classes_ar, rows[:, None, :], axis=2)
+    classes = jnp.take_along_axis(g, anc[:, None, :], axis=1)[:, 0]
+
+    def gather_box(t):       # [T?, B, S*A*4, R] -> [T?, B, M, S, 4]
+        lead = t.shape[:-2]
+        t = t.reshape(lead + (halves, num_anc, 4, t.shape[-1]))
+        if len(lead) == 2:   # [T, B, ...]
+            g = jnp.take_along_axis(
+                t, rows[None, :, None, None, None, :], axis=5)
+            g = jnp.take_along_axis(
+                g, anc[None, :, None, None, None, :], axis=3)[:, :, :, 0]
+        else:
+            g = jnp.take_along_axis(
+                t, rows[:, None, None, None, :], axis=4)
+            g = jnp.take_along_axis(
+                g, anc[:, None, None, None, :], axis=2)[:, :, 0]
+        # [T?, B, S, 4, M] -> [T?, B, M, S, 4]  (small: M candidates only)
+        return jnp.moveaxis(g, -1, -3)
+
+    box_g = gather_box(box_t)                              # [T?, B, M, S, 4]
+    box_mu = box_g[..., 0, :]
+    sigma_al_g = box_g[..., 1, :] if loss_att else None
+    anchor_sel = jnp.take(anchors.boxes, indices, axis=0)  # [B, M, 4]
+
+    sigma_mc = None
+    method = config.uncert_adjust_method
+    if loss_att and not mc_box:
+        boxes, sigma_al = decode_uncert(
+            box_mu, sigma_al_g, anchor_sel, method=method,
+            n_samples=config.decode_nsamples)
+    elif mc_box and loss_att:
+        boxes_t, sig_t = decode_uncert(box_mu, sigma_al_g, anchor_sel,
+                                       method=method,
+                                       n_samples=config.decode_nsamples)
+        boxes, sigma_mc = mc_moments(boxes_t)
+        sigma_al = jnp.mean(sig_t.astype(jnp.float32), axis=0)
+    elif mc_box:
+        boxes_t = anchor_lib.decode_box_outputs(box_mu, anchor_sel)
+        boxes, sigma_mc = mc_moments(boxes_t)
+        sigma_al = None
+    else:
+        boxes = anchor_lib.decode_box_outputs(
+            box_mu.astype(jnp.float32), anchor_sel)
+        sigma_al = None
+
+    def f32(t):
+        return None if t is None else t.astype(jnp.float32)
+
+    sigma_cls_acr = None if sigma_cls_t is None else \
+        sigma_cls_t.reshape(b, num_anc, num_classes, r_len)
+    return dict(boxes=f32(boxes),
                 scores_logits=scores_logits.astype(jnp.float32),
                 classes=classes, indices=indices,
-                sigma_al=sel(sigma_al_full), sigma_mc=sel(sigma_mc_full),
-                sigma_cls=sel(sigma_cls),
-                logits=sel(cls_all) if config.enable_softmax else None)
+                sigma_al=f32(sigma_al), sigma_mc=f32(sigma_mc),
+                sigma_cls=f32(gather_cls(sigma_cls_acr)),
+                logits=f32(gather_cls(cls_acr))
+                if config.enable_softmax else None)
 
 
 def postprocess_global(config, cls_outputs, box_outputs, image_scales=None,
