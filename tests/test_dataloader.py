@@ -101,8 +101,8 @@ def test_prefetch_feeds_at_line_rate(synth):
 
     path, _ = synth
     cfg = _config()
-    step_s = 0.02
-    n_steps = 12
+    step_s = 0.3  # >> per-batch produce cost (~150ms) on a 1-vCPU host
+    n_steps = 6
 
     # real TFRecord input through the prefetching reader
     reader = InputReader(path, is_training=True, seed=3, prefetch=3)

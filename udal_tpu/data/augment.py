@@ -221,22 +221,30 @@ def apply_corruption(kind: str, img: np.ndarray,
 
 
 def apply_policy(policy: Optional[str], img: np.ndarray, boxes: np.ndarray,
-                 rng: Optional[np.random.RandomState] = None
+                 rng: Optional[np.random.RandomState] = None,
+                 weather_mode: str = "subjective",
+                 weather_save_path: Optional[str] = None
                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Dispatch on config.autoaugment_policy ∈ {None, 'randaug', 'v0',
-    'albu'} — parity `dataloader.py:dataset_parser` policy switch."""
+    """Dispatch on config.autoaugment_policy ∈ {None, 'randaug', 'v0'..'v3',
+    'test', 'albu'/'albumentations'} — parity with the reference policy
+    switch (`dataloader.py:dataset_parser`, `aug/autoaugment.py:1694-1956`).
+
+    'v0'–'v3'/'test' run the full AutoAugment detection policy tables;
+    'albu' runs the weather bridge with optimal/random/subjective params
+    (`weather_mode`, with per-dataset pickled optima under
+    `weather_save_path` — ref `autoaugment.py:1772-1776`).
+    """
+    from udal_tpu.data import autoaugment as aa
+
     rng = rng or np.random.RandomState(0)
     if not policy:
         return img, boxes
     if policy == "randaug":
-        return randaugment(img, boxes, rng=rng)
-    if policy == "v0":
-        # v0: one random color op + equalize, a light stand-in for the
-        # original AutoAugment v0 policy's color sub-policies
-        img, boxes = randaugment(img, boxes, num_layers=1, rng=rng)
-        return equalize(img, 0), boxes
-    if policy == "albu":
-        ops = ["rain", "snow", "fog", "sat"]
-        return add_weather(img, ops[rng.randint(len(ops))],
-                           severity=rng.uniform(0.2, 0.7), rng=rng), boxes
+        return aa.distort_image_with_randaugment(img, boxes, rng=rng)
+    if policy in aa.POLICIES:
+        return aa.distort_image_with_autoaugment(img, boxes, policy, rng)
+    if policy in ("albu", "albumentations"):
+        return aa.distort_image_with_weather(
+            img, boxes, mode=weather_mode, save_path=weather_save_path,
+            rng=rng)
     raise ValueError(f"unknown policy {policy!r}")
