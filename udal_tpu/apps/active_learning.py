@@ -280,7 +280,38 @@ class ActiveLearning:
                  train_fn: Optional[Callable] = None,
                  infer_fn: Optional[Callable] = None,
                  opt_params: Optional[Sequence[float]] = None,
+                 export_fn: Optional[Callable] = None,
+                 calibrate_fn: Optional[Callable] = None,
+                 validate_fn: Optional[Callable] = None,
+                 optimize_fn: Optional[Callable] = None,
+                 train_done_fn: Optional[Callable] = None,
+                 warmup_dir: Optional[str] = None,
+                 max_train_retries: int = 3,
+                 resume: bool = True,
                  seed: int = 0):
+        """Stage callables mirror the reference's per-iteration subprocess
+        pipeline (`active_learning_loop.py:411-526,917-1136`):
+
+        train_fn(selected_names, iter_dir): (re)train on the selection.
+        train_done_fn(iter_dir) -> bool: crash-resume probe — the reference
+          polls for ``ckpt-<num_epochs>.index`` and relaunches training until
+          it appears (`:1009-1097`); train_fn is retried while this is False
+          (up to max_train_retries).
+        export_fn(iter_dir): export the previous iteration's model (mode 0).
+        calibrate_fn(iter_dir): fit calibrators (mode 2; only when 'calib'
+          is in the strategy and no calibrators exist yet).
+        validate_fn(iter_dir): write validate_results.txt (mode 3; only for
+          'combo' strategies without optimal params yet).
+        optimize_fn(iter_dir) -> opt_params: the MainUncertViz threshold
+          optimization over validate_results.txt (`:917-949`).
+        infer_fn(remaining_names, iter_dir) -> prediction rows (mode 6).
+        warmup_dir: a completed iteration-0 directory from another strategy
+          run — iteration 0 selections are random and identical across
+          strategies, so its model/prediction artifacts are copied instead
+          of retraining (`:1101-1136`).
+        resume: skip iterations whose artifacts are already complete
+          (crash-resume at the loop level).
+        """
         self.pool = list(pool_names)
         self.work_dir = work_dir
         self.strategy = scoring_strategy
@@ -288,6 +319,14 @@ class ActiveLearning:
         self.train_fn = train_fn
         self.infer_fn = infer_fn
         self.opt_params = opt_params
+        self.export_fn = export_fn
+        self.calibrate_fn = calibrate_fn
+        self.validate_fn = validate_fn
+        self.optimize_fn = optimize_fn
+        self.train_done_fn = train_done_fn
+        self.warmup_dir = warmup_dir
+        self.max_train_retries = max_train_retries
+        self.resume = resume
         self.rng = np.random.RandomState(seed)
         self.selected: List[str] = []
         os.makedirs(work_dir, exist_ok=True)
@@ -297,12 +336,79 @@ class ActiveLearning:
         os.makedirs(d, exist_ok=True)
         return d
 
+    def _iter_complete(self, i: int) -> bool:
+        d = os.path.join(self.work_dir, f"iter_{i}")
+        if not os.path.exists(os.path.join(d, "selected.txt")):
+            return False
+        if self.train_fn is None:
+            return True
+        return os.path.exists(os.path.join(d, "train_done"))
+
+    def _combo_stage(self, i: int, it_dir: str) -> None:
+        """Per-iteration export → calibrate → validate → threshold-optimize
+        pipeline (the reference's `exp_calib_val_infer` + `MainUncertViz`
+        combo scoring, `active_learning_loop.py:411-526,917-949`)."""
+        prev_dir = self._iter_dir(i - 1)
+        if self.export_fn is not None and \
+                not os.path.exists(os.path.join(prev_dir, "export")):
+            self.export_fn(prev_dir)
+        if "calib" in self.strategy and self.calibrate_fn is not None and \
+                not os.path.exists(os.path.join(prev_dir, "calibration")):
+            self.calibrate_fn(prev_dir)
+        if "combo" in self.strategy and self.optimize_fn is not None:
+            params_file = os.path.join(prev_dir, "optimal_params.txt")
+            if not os.path.exists(params_file):
+                if self.validate_fn is not None:
+                    self.validate_fn(prev_dir)
+                params = list(self.optimize_fn(prev_dir))
+                with open(params_file, "w") as f:
+                    f.write(",".join(str(p) for p in params))
+            with open(params_file) as f:
+                self.opt_params = [float(x.strip("[] "))
+                                   for x in f.read().split(",")]
+
+    def _train_with_resume(self, i: int, it_dir: str) -> None:
+        """Retrain until the checkpoint-complete probe passes — parity with
+        the reference's retry-until-ckpt loops (`:1009-1097`)."""
+        done = os.path.join(it_dir, "train_done")
+        # warm-up reuse: iteration 0 is the same random selection for every
+        # strategy, so a completed warm-up model is copied, not retrained
+        if i == 0 and self.warmup_dir and \
+                os.path.exists(os.path.join(self.warmup_dir, "train_done")):
+            import shutil
+
+            for name in os.listdir(self.warmup_dir):
+                src = os.path.join(self.warmup_dir, name)
+                dst = os.path.join(it_dir, name)
+                if os.path.exists(dst):
+                    continue
+                if os.path.isdir(src):
+                    shutil.copytree(src, dst)
+                else:
+                    shutil.copy2(src, dst)
+            if os.path.exists(done):
+                return
+        probe = self.train_done_fn or (lambda d: os.path.exists(
+            os.path.join(d, "train_done")))
+        for _ in range(self.max_train_retries):
+            self.train_fn(self.selected, it_dir)
+            if self.train_done_fn is None:
+                break
+            if probe(it_dir):
+                break
+        with open(done, "w") as f:
+            f.write("ok")
+
     def run(self) -> List[str]:
         """Run all budget iterations; returns the final selected set."""
         total = len(self.pool)
         for i, pct in enumerate(self.budget_steps):
-            k = max(1, int(round(total * pct / 100.0)))
             it_dir = self._iter_dir(i)
+            if self.resume and self._iter_complete(i):
+                with open(os.path.join(it_dir, "selected.txt")) as f:
+                    self.selected = [l for l in f.read().splitlines() if l]
+                continue
+            k = max(1, int(round(total * pct / 100.0)))
             remaining = [n for n in self.pool if n not in set(self.selected)]
             if not remaining:
                 break
@@ -311,6 +417,7 @@ class ActiveLearning:
                 k = min(k, len(remaining))
                 picks = list(self.rng.choice(remaining, k, replace=False))
             else:
+                self._combo_stage(i, it_dir)
                 rows = self.infer_fn(remaining, it_dir)
                 rows = [r for r in rows
                         if r["image_name"] in set(remaining)]
@@ -320,5 +427,5 @@ class ActiveLearning:
             with open(os.path.join(it_dir, "selected.txt"), "w") as f:
                 f.write("\n".join(self.selected))
             if self.train_fn is not None:
-                self.train_fn(self.selected, it_dir)
+                self._train_with_resume(i, it_dir)
         return self.selected

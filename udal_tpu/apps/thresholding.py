@@ -206,6 +206,48 @@ class UncertOptimal:
             return self.opt_params
         return self.optimize(max_evals)
 
+    def _fdcd_subset(self, weights: np.ndarray, mask: np.ndarray) -> float:
+        """Mean FD@CD over the IoU grid for one GT subset and weight set."""
+        comb = sum(w * u[mask] for w, u in zip(weights, self.uncert))
+        errs = []
+        for thr in self.iou_thrs:
+            correct = ((self.ious[mask] >= thr) *
+                       self.tps_class[mask]).astype(int)
+            r = roc_metrics(comb, correct, self.fpr_tpr, self.fix_cd)
+            err = r[1] if r != 0 else 1.0
+            errs.append((1.0 if np.isnan(err) else err) * 100)
+        return float(np.mean(errs))
+
+    def per_class_fixed_params(self, global_params: np.ndarray,
+                               max_evals: int = 600) -> np.ndarray:
+        """Per-class weight optimization with fixing.
+
+        Parity with the reference's "redo with fix" pass
+        (`uncertainty_analysis.py:412-500`): per-class weights are optimized
+        jointly, then each class whose class-specific weights do not beat
+        the globally-optimal weights on its own FD@CD is fixed back to the
+        global weights. Requires ``per_cls=True``.
+        """
+        assert self.per_cls, "per_class_fixed_params requires per_cls=True"
+        perc = self.get_optimal_uncertainty(max_evals)
+        nu = len(self.uncert)
+        num_classes = int(np.max(self.gt_classes))
+        global_params = np.asarray(global_params, np.float64)
+        fixed = np.array(perc, np.float64)
+        for i in range(num_classes):
+            mask = self.gt_classes == i + 1
+            if not mask.any():
+                fixed[i * nu:(i + 1) * nu] = global_params
+                continue
+            w_cls = fixed[i * nu:(i + 1) * nu]
+            if self._fdcd_subset(w_cls, mask) >= \
+                    self._fdcd_subset(global_params, mask):
+                fixed[i * nu:(i + 1) * nu] = global_params
+        self.opt_params = fixed
+        with open(self._fname("optimal_params_clsoptfix"), "w") as f:
+            f.write("[" + " ".join(repr(float(p)) for p in fixed) + "]")
+        return fixed
+
 
 def read_optimal_thresholds(source_path: str, fpr_tpr: float = 0.95,
                             fix_cd: bool = True,

@@ -18,6 +18,23 @@ import sys
 from typing import Optional
 
 
+def _apply_config_file(args) -> None:
+    """Fill args from an eval/inference yaml (reference contract:
+    `configs/{eval,inference}/*.yaml` with eval_samples / hparams /
+    model_dir / val_file_pattern / saved_model_dir / infer_* / video_path —
+    `/root/reference/src/inspector.py:76-94`, `src/eval.py:50-96`).
+    Explicit CLI values win over the file."""
+    if not getattr(args, "config", None):
+        return
+    import yaml
+
+    with open(args.config) as fp:
+        cfg = yaml.safe_load(fp) or {}
+    for key, val in cfg.items():
+        if getattr(args, key, None) in (None, "", 0):
+            setattr(args, key, val)
+
+
 def _load_config(args) -> "object":
     from udal_tpu.config import get_detection_config
 
@@ -28,6 +45,25 @@ def _load_config(args) -> "object":
     if args.num_epochs:
         config.num_epochs = args.num_epochs
     return config
+
+
+def _restore_variables(args, config):
+    """Model weights from --tf_checkpoint (reference TF checkpoint via the
+    name-mapping loader) or --model_dir (orbax), with EMA swap."""
+    import jax
+
+    from udal_tpu.train.train_lib import create_train_state
+    from udal_tpu.utils.checkpoint import restore_checkpoint, swap_in_ema
+
+    model, state, _, _ = create_train_state(config, jax.random.PRNGKey(0), 1)
+    if getattr(args, "tf_checkpoint", None):
+        from udal_tpu.utils.tf_checkpoint import (load_reference_weights,
+                                                  read_tf_checkpoint)
+
+        weights = read_tf_checkpoint(args.tf_checkpoint)
+        return load_reference_weights(state.variables, weights, config)
+    state, _ = restore_checkpoint(args.model_dir, state)
+    return swap_in_ema(state)
 
 
 def cmd_train(args) -> None:
@@ -58,27 +94,23 @@ def cmd_train(args) -> None:
 
 
 def cmd_eval(args) -> None:
-    import jax
     import numpy as np
 
     from udal_tpu.apps.serving import ServingDriver
     from udal_tpu.data.dataloader import InputReader
     from udal_tpu.data.label_maps import get_label_map
     from udal_tpu.eval.coco import COCOEvaluator
-    from udal_tpu.models.efficientdet import EfficientDetNet
-    from udal_tpu.train.train_lib import create_train_state
-    from udal_tpu.utils.checkpoint import restore_checkpoint, swap_in_ema
 
+    _apply_config_file(args)
     config = _load_config(args)
-    model, state, _, _ = create_train_state(config, jax.random.PRNGKey(0), 1)
-    state, _ = restore_checkpoint(args.model_dir, state)
-    variables = swap_in_ema(state)
+    variables = _restore_variables(args, config)
     driver = ServingDriver(config, variables, batch_size=args.batch_size)
 
     evaluator = COCOEvaluator(label_map=get_label_map(config.label_map),
                               fine_grid=args.fine_grid)
     reader = InputReader(args.val_file_pattern, is_training=False)
     img_id = 0
+    conf_correct = []   # (score, hit) pairs for detection-confidence ECE
     for images, labels in reader(config, args.batch_size):
         det = driver.serve_detections(images)
         b = images.shape[0]
@@ -94,26 +126,76 @@ def cmd_eval(args) -> None:
         gt_scaled[..., :4] *= np.asarray(
             labels["image_scales"])[:, None, None]
         evaluator.update_state(gt_scaled, det_rows)
+        conf_correct.append(_det_confidence_hits(det, gt_scaled))
     results = evaluator.result()
+    if conf_correct:
+        pairs = np.concatenate(conf_correct, axis=0)
+        results["ECE"] = _expected_calibration_error(pairs[:, 0], pairs[:, 1])
     for k, v in results.items():
         print(f"{k}: {v:.4f}")
+    return results
+
+
+def _det_confidence_hits(det, gt_scaled, iou_thr: float = 0.5,
+                         score_thr: float = 0.05):
+    """(score, correct) pairs: a detection is correct if it matches a GT of
+    its class at IoU >= 0.5 — the standard detection-ECE construction."""
+    import numpy as np
+
+    from udal_tpu.ops.boxes import pairwise_iou
+
+    def iou_matrix_np(a, b):
+        return np.asarray(pairwise_iou(a, b))
+
+    out = []
+    boxes = np.asarray(det.boxes)
+    scores = np.asarray(det.scores)
+    classes = np.asarray(det.classes)
+    for b in range(boxes.shape[0]):
+        keep = scores[b] > score_thr
+        if not keep.any():
+            continue
+        gt = gt_scaled[b]
+        gt = gt[gt[:, -1] > 0]
+        if len(gt) == 0:
+            hits = np.zeros(int(keep.sum()), np.float32)
+            out.append(np.stack([scores[b][keep], hits], axis=1))
+            continue
+        ious = iou_matrix_np(boxes[b][keep], gt[:, :4])
+        same_cls = classes[b][keep][:, None] == gt[None, :, -1]
+        hit = ((ious >= iou_thr) & same_cls).any(axis=1)
+        out.append(np.stack([scores[b][keep],
+                             hit.astype(np.float32)], axis=1))
+    return np.concatenate(out, axis=0) if out else np.zeros((0, 2),
+                                                            np.float32)
+
+
+def _expected_calibration_error(scores, hits, bins: int = 10) -> float:
+    import numpy as np
+
+    edges = np.linspace(0.0, 1.0, bins + 1)
+    n = len(scores)
+    if n == 0:
+        return 0.0
+    ece = 0.0
+    for i in range(bins):
+        m = (scores > edges[i]) & (scores <= edges[i + 1])
+        if m.any():
+            ece += m.sum() / n * abs(hits[m].mean() - scores[m].mean())
+    return float(ece)
 
 
 def cmd_inspect(args) -> None:
-    import jax
     import numpy as np
 
     from udal_tpu.apps.serving import ServingDriver
-    from udal_tpu.train.train_lib import create_train_state
-    from udal_tpu.utils.checkpoint import restore_checkpoint, swap_in_ema
 
+    _apply_config_file(args)
     config = _load_config(args)
     variables = None
-    if args.model_dir and args.model_dir != "_":
-        model, state, _, _ = create_train_state(config,
-                                                jax.random.PRNGKey(0), 1)
-        state, _ = restore_checkpoint(args.model_dir, state)
-        variables = swap_in_ema(state)
+    if getattr(args, "tf_checkpoint", None) or \
+            (args.model_dir and args.model_dir != "_"):
+        variables = _restore_variables(args, config)
     driver = ServingDriver(config, variables, batch_size=args.batch_size) \
         if variables is not None else \
         ServingDriver.create(args.model_name, batch_size=args.batch_size,
@@ -177,13 +259,20 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--batch_size", type=int, default=8)
         sp.add_argument("--num_epochs", type=int, default=None)
         sp.add_argument("--val_file_pattern", default=None)
+        sp.add_argument("--config", default=None,
+                        help="eval/inference yaml (configs/{eval,inference})"
+                             " filling the args above")
+        sp.add_argument("--tf_checkpoint", default=None,
+                        help="reference TF checkpoint to load via the "
+                             "name-mapping loader (e.g. the public "
+                             "efficientdet-d0 ckpt)")
+        sp.add_argument("--eval_samples", type=int, default=0)
 
     t = sub.add_parser("train")
     common(t)
     t.add_argument("--train_file_pattern", required=True)
     t.add_argument("--num_examples_per_epoch", type=int, default=1024)
     t.add_argument("--steps_per_epoch", type=int, default=None)
-    t.add_argument("--eval_samples", type=int, default=64)
     t.add_argument("--use_fake_data", action="store_true")
     t.set_defaults(fn=cmd_train)
 

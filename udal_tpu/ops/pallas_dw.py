@@ -2,19 +2,18 @@
 
 The MBConv depthwise stage is the profiled hot spot of the EfficientNet
 backbone on TPU (the reference's Keras DepthwiseConv2D + BN + swish chain,
-`/root/reference/src/backbone/efficientnet_model.py:262-475`): XLA executes
-it as a VPU convolution fusion at ~15% of HBM bandwidth. This kernel streams
-(batch, row-block) tiles through VMEM once and applies the whole chain —
-depthwise k×k conv (stride 1 or 2, SAME), inference BatchNorm (folded to
-scale/bias), swish, the MC-dropout channel mask, and the squeeze-excite
-global-mean accumulation — in a single pass, so each activation byte moves
-HBM→VMEM→HBM exactly once.
+`/root/reference/src/backbone/efficientnet_model.py:262-475`). This kernel
+streams row chunks of each image through VMEM with double-buffered
+load/store DMAs and applies the whole chain — depthwise k×k conv (stride 1
+or 2, SAME), inference BatchNorm (folded scale/bias), swish, the MC-dropout
+channel mask, and the squeeze-excite global-mean accumulation — in a single
+pass, so each activation byte moves HBM→VMEM→HBM exactly once.
 
-Layout: NHWC with C on lanes (matching the surrounding convs — no layout
-changes at the kernel boundary). The input stays in HBM (`pltpu.ANY`) and
-row blocks with halo are DMA'd into a double-buffered VMEM scratch by the
-kernel itself (the remote AOT compiler rejects `pl.Element` halo specs);
-halo rows outside the image are zero-masked in VMEM.
+Layout: NHWC with C on lanes. C must be a multiple of 128 (the caller pads
+channels to lane width — the HBM tiled layout stores those lanes anyway, so
+the padding adds no memory traffic). Both input and output live in HBM and
+are moved by in-kernel async copies; the grid runs one program per image,
+and each program pipelines its row chunks (load i+1 / compute i / store i).
 """
 
 from __future__ import annotations
@@ -36,132 +35,81 @@ def _same_pads(size: int, k: int, stride: int) -> Tuple[int, int]:
 
 
 def _dw_kernel(x_hbm, w_ref, scale_ref, bias_ref, mask_ref,
-               y_ref, mean_ref=None, *, xbuf=None, sems=None,
-               k, stride, hb_out, h_in, w_out,
-               pad_t, pad_l, pad_r, use_mask, use_mean, act):
+               y_hbm, mean_ref, xbuf, ybuf, acc_ref, load_sem, store_sem,
+               *, k, stride, hb_out, n_chunks, w_out,
+               use_mask, use_mean, act):
     n = pl.program_id(0)
-    hb = pl.program_id(1)
-    n_h = pl.num_programs(1)
-    n_n = pl.num_programs(0)
-    s_in = (hb_out - 1) * stride + k
+    s_in = xbuf.shape[1]
     hbs = hb_out * stride
-    size_last = hbs + pad_t          # rows the last block copies (<= s_in)
 
-    def issue(slot, n_idx, hb_idx):
-        """Start the input DMA for block (n_idx, hb_idx) into xbuf[slot].
+    def load(i, slot):
+        """Input DMA for row chunk i into xbuf[slot] — uniform size (the
+        caller pre-pads H/W, so no edge cases)."""
+        return pltpu.make_async_copy(
+            x_hbm.at[n, pl.ds(i * hbs, s_in)],
+            xbuf.at[slot],
+            load_sem.at[slot])
 
-        n_h is static, so impossible branches are never emitted; predicates
-        only separate the (dynamic) first/middle/last row blocks.
-        """
-        if n_h == 1:
-            pltpu.make_async_copy(
-                x_hbm.at[n_idx, pl.ds(0, h_in)],
-                xbuf.at[slot, pl.ds(pad_t, h_in)],
-                sems.at[slot]).start()
-            return
-        # clamps keep pl.ds bounds valid even in untaken predicate branches
-        g0 = jnp.clip(hb_idx * hbs - pad_t, 0, max(h_in - s_in, 0))
-        gl = jnp.clip(hb_idx * hbs - pad_t, 0, max(h_in - size_last, 0))
-        first = hb_idx == 0
-        last = hb_idx == n_h - 1
+    def store(i, slot):
+        return pltpu.make_async_copy(
+            ybuf.at[slot],
+            y_hbm.at[n, pl.ds(i * hb_out, hb_out)],
+            store_sem.at[slot])
 
-        @pl.when(first)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[n_idx, pl.ds(0, s_in - pad_t)],
-                xbuf.at[slot, pl.ds(pad_t, s_in - pad_t)],
-                sems.at[slot]).start()
-
-        @pl.when(last)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[n_idx, pl.ds(gl, size_last)],
-                xbuf.at[slot, pl.ds(0, size_last)],
-                sems.at[slot]).start()
-
-        if n_h > 2:
-            @pl.when((~first) & (~last))
-            def _():
-                pltpu.make_async_copy(
-                    x_hbm.at[n_idx, pl.ds(g0, s_in)],
-                    xbuf.at[slot, pl.ds(0, s_in)],
-                    sems.at[slot]).start()
-
-    del n_n
-    slot = 0
-    issue(slot, n, hb)
-
-    def wait(slot, hb_idx):
-        # the DMA wait must match the issued copy size exactly
-        if n_h == 1:
-            pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(0, h_in)],
-                xbuf.at[slot, pl.ds(pad_t, h_in)],
-                sems.at[slot]).wait()
-            return
-        first = hb_idx == 0
-        last = hb_idx == n_h - 1
-
-        @pl.when(first)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(0, s_in - pad_t)],
-                xbuf.at[slot, pl.ds(pad_t, s_in - pad_t)],
-                sems.at[slot]).wait()
-
-        @pl.when(last)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(0, size_last)],
-                xbuf.at[slot, pl.ds(0, size_last)],
-                sems.at[slot]).wait()
-
-        if n_h > 2:
-            @pl.when((~first) & (~last))
-            def _():
-                pltpu.make_async_copy(
-                    x_hbm.at[0, pl.ds(0, s_in)],
-                    xbuf.at[slot, pl.ds(0, s_in)],
-                    sems.at[slot]).wait()
-
-    wait(slot, hb)
-
-    w_full = xbuf.shape[-2]
-    c = xbuf.shape[-1]
-    row0 = hb * hbs - pad_t                         # global row of block[0]
     w = w_ref[...].astype(jnp.float32)              # [k, k, C]
-    scale = scale_ref[...].astype(jnp.float32)
+    scale = scale_ref[...].astype(jnp.float32)      # [1, 1, C]
     bias = bias_ref[...].astype(jnp.float32)
     dmask = mask_ref[...].astype(jnp.float32) if use_mask else None
-    # W taps via a parity reshape when stride 2 (no step>1 vector slices)
-    wq = (w_full + pad_l + pad_r + stride - 1) // stride * stride
+    c = xbuf.shape[-1]
+    wq = xbuf.shape[-2]                             # padded W in scratch
 
-    def one_row(r, mean_carry):
-        # row r of the output block reads input rows r*stride + [0, k)
-        slab = xbuf[slot, pl.ds(r * stride, k)]      # [k, W, C]
-        rows = jax.lax.broadcasted_iota(jnp.int32, slab.shape, 0) + \
-            (row0 + r * stride)
-        ok = (rows >= 0) & (rows < h_in)
-        slab = jnp.where(ok, slab, jnp.zeros_like(slab))
-        if pad_l or (wq != w_full + pad_l):
-            slab = jnp.pad(slab, ((0, 0), (pad_l, wq - w_full - pad_l),
-                                  (0, 0)))
-        if stride == 2:
-            slab = slab.reshape(k, wq // 2, 2, c)
+    load(0, 0).start()
 
-        acc = jnp.zeros((w_out, c), jnp.float32)
+    def body(i, mean_carry):
+        slot = i % 2
+
+        if n_chunks > 1:
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                load(jnp.minimum(i + 1, n_chunks - 1), (i + 1) % 2).start()
+
+        load(i, slot).wait()
+
+        # the store of chunk i-2 must have drained before ybuf[slot] reuse
+        if n_chunks > 2:
+            @pl.when(i >= 2)
+            def _():
+                store(jnp.maximum(i - 2, 0), slot).wait()
+
+        # --- compute chunk i: [s_in, Wq, C] -> [hb_out, W_out, C] ---------
+        x = xbuf[slot]
+
+        acc_ref[...] = jnp.zeros_like(acc_ref)
         for dy in range(k):
+            if stride == 1:
+                rb = jax.lax.slice(x, (dy, 0, 0),
+                                   (dy + hb_out, wq, c))
+            else:
+                # rows dy + 2r via the parity reshape (S_in is even; Mosaic
+                # has no step>1 vector slices)
+                rbt = x.reshape(x.shape[0] // 2, 2, wq, c)
+                rb = jax.lax.slice(
+                    rbt, (dy // 2, dy % 2, 0, 0),
+                    (dy // 2 + hb_out, dy % 2 + 1, wq, c))[:, 0]
+            if stride == 2:
+                rb2 = rb.reshape(hb_out, wq // 2, 2, c)
             for dx in range(k):
                 if stride == 1:
-                    sub = jax.lax.slice(slab, (dy, dx, 0),
-                                        (dy + 1, dx + w_out, c))[0]
+                    sub = jax.lax.slice(rb, (0, dx, 0),
+                                        (hb_out, dx + w_out, c))
                 else:
                     sub = jax.lax.slice(
-                        slab, (dy, dx // 2, dx % 2, 0),
-                        (dy + 1, dx // 2 + w_out, dx % 2 + 1, c))[0, :, 0]
-                acc = acc + sub.astype(jnp.float32) * w[dy, dx]
+                        rb2, (0, dx // 2, dx % 2, 0),
+                        (hb_out, dx // 2 + w_out, dx % 2 + 1, c))[:, :, 0]
+                acc_ref[...] = acc_ref[...] + \
+                    sub.astype(jnp.float32) * w[dy, dx]
 
-        y = acc * scale[0] + bias[0]
+        y = acc_ref[...] * scale[0] + bias[0]
         if act == "swish":
             y = y * jax.nn.sigmoid(y)
         elif act == "relu":
@@ -170,37 +118,37 @@ def _dw_kernel(x_hbm, w_ref, scale_ref, bias_ref, mask_ref,
             y = jnp.clip(y, 0.0, 6.0)
         if use_mask:
             y = y * dmask[0]
-        y_ref[0, r] = y.astype(y_ref.dtype)
+        ybuf[slot] = y.astype(ybuf.dtype)
+        store(i, slot).start()
         if use_mean:
-            mean_carry = mean_carry + jnp.sum(y, axis=0, keepdims=True)
+            mean_carry = mean_carry + jnp.sum(y, axis=(0, 1))[None, :]
         return mean_carry
 
     mean_part = jax.lax.fori_loop(
-        0, hb_out, one_row, jnp.zeros((1, c), jnp.float32))
+        0, n_chunks, body, jnp.zeros((1, c), jnp.float32))
+
+    # drain outstanding stores
+    if n_chunks >= 2:
+        store(n_chunks - 2, (n_chunks - 2) % 2).wait()
+    store(n_chunks - 1, (n_chunks - 1) % 2).wait()
 
     if use_mean:
-        @pl.when(hb == 0)
-        def _():
-            mean_ref[...] = mean_part[None]
-
-        @pl.when(hb != 0)
-        def _():
-            mean_ref[...] = mean_ref[...] + mean_part[None]
+        mean_ref[...] = mean_part[None]
 
 
 def fused_depthwise(x: jnp.ndarray, kernel: jnp.ndarray,
                     scale: jnp.ndarray, bias: jnp.ndarray,
                     drop_mask: Optional[jnp.ndarray] = None,
                     stride: int = 1, act: str = "swish",
-                    want_mean: bool = False,
+                    want_mean: bool = True,
                     block_rows: int = 0,
                     interpret: Optional[bool] = None):
     """Fused depthwise conv + BN + activation (+ dropout mask, SE mean).
 
     Args:
-      x: [N, H, W, C] input (any float dtype; bf16 recommended).
+      x: [N, H, W, C] input, C a multiple of 128 (bf16 recommended).
       kernel: [k, k, 1, C] or [k, k, C] depthwise filters.
-      scale, bias: [C] folded BatchNorm affine (gamma/sqrt(var+eps), ...).
+      scale, bias: [C] folded BatchNorm affine (see :func:`fold_bn`).
       drop_mask: optional [N, C] channel dropout multiplier (already scaled
         by 1/keep) — the MC spatial-dropout mask.
       stride: 1 or 2 (SAME padding, TF semantics).
@@ -220,16 +168,22 @@ def fused_depthwise(x: jnp.ndarray, kernel: jnp.ndarray,
     pad_l, pad_r = _same_pads(w, k, stride)
 
     if block_rows <= 0:
-        # VMEM budget: the double-buffered input scratch dominates (compute
-        # temporaries are per-row slabs). Keep 2·s_in·W·C ≤ ~7MB and the
-        # (double-buffered) output block ≤ ~2MB.
-        in_budget = 3_500_000 // (max(w, 1) * c * x.dtype.itemsize)
-        out_budget = 2_000_000 // (max(w_out, 1) * c * x.dtype.itemsize)
-        block_rows = max(1, min(h_out, in_budget // stride, out_budget))
+        # VMEM: 2x in (bf16) + 2x out + f32 accumulator + ~2 f32 tap
+        # temporaries; keep the f32 accumulator ≤ ~1MB so the peak stays
+        # well under the 16MB scoped limit
+        acc_budget = 1_048_576 // (max(w_out, 1) * c * 4)
+        in_budget = (1_572_864 // (max(w, 1) * c * x.dtype.itemsize))
+        block_rows = max(1, min(h_out, acc_budget, in_budget // stride))
         while h_out % block_rows:
             block_rows -= 1
     hb_out = block_rows
     s_in = (hb_out - 1) * stride + k
+    if stride == 2 and s_in % 2:
+        s_in += 1            # parity-reshape trick needs an even row count
+    n_chunks = h_out // hb_out
+    # scratch W: SAME padding, rounded up to a multiple of 8 — DMA slices
+    # of the (sublane) W dim must be 8-aligned on TPU
+    wq = -(-(w + pad_l + pad_r) // 8) * 8
 
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
@@ -239,11 +193,10 @@ def fused_depthwise(x: jnp.ndarray, kernel: jnp.ndarray,
         drop_mask = jnp.ones((n, c), x.dtype)
 
     kern = functools.partial(
-        _dw_kernel, k=k, stride=stride, hb_out=hb_out, h_in=h,
-        w_out=w_out, pad_t=pad_t, pad_l=pad_l, pad_r=pad_r,
-        use_mask=use_mask, use_mean=want_mean, act=act)
+        _dw_kernel, k=k, stride=stride, hb_out=hb_out, n_chunks=n_chunks,
+        w_out=w_out, use_mask=use_mask, use_mean=want_mean, act=act)
 
-    def wrapped(x_hbm, w_ref, scale_ref, bias_ref, mask_ref, y_ref,
+    def wrapped(x_hbm, w_ref, scale_ref, bias_ref, mask_ref, y_hbm,
                 *rest):
         if want_mean:
             mean_ref = rest[0]
@@ -251,44 +204,58 @@ def fused_depthwise(x: jnp.ndarray, kernel: jnp.ndarray,
         else:
             mean_ref = None
             scratch = rest
-        kern(x_hbm, w_ref, scale_ref, bias_ref, mask_ref, y_ref, mean_ref,
-             xbuf=scratch[0], sems=scratch[1])
+        kern(x_hbm, w_ref, scale_ref, bias_ref, mask_ref, y_hbm, mean_ref,
+             *scratch)
 
-    # All small per-channel operands are rank-3 (·, 1, C) so their trailing
-    # two block dims equal the full array dims (a Mosaic block constraint).
-    grid = (n, h_out // hb_out)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.HBM),           # x stays in HBM
-        pl.BlockSpec((k, k, c), lambda i, j: (0, 0, 0)),
-        pl.BlockSpec((1, 1, c), lambda i, j: (0, 0, 0)),
-        pl.BlockSpec((1, 1, c), lambda i, j: (0, 0, 0)),
-        pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec((k, k, c), lambda i: (0, 0, 0)),
+        pl.BlockSpec((1, 1, c), lambda i: (0, 0, 0)),
+        pl.BlockSpec((1, 1, c), lambda i: (0, 0, 0)),
+        pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
     ]
     out_shapes = [jax.ShapeDtypeStruct((n, h_out, w_out, c), x.dtype)]
-    out_specs = [pl.BlockSpec((1, hb_out, w_out, c),
-                              lambda i, j: (i, j, 0, 0))]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if want_mean:
         out_shapes.append(jax.ShapeDtypeStruct((n, 1, c), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)))
+        out_specs.append(pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)))
 
+    # H and W are zero-padded to the staged shape by the producer (XLA fuses
+    # the pad into the preceding op's output write), so every chunk's DMA is
+    # uniform — no edge cases, no in-kernel masking.
+    h_stage = (n_chunks - 1) * hb_out * stride + s_in
     outs = pl.pallas_call(
         wrapped,
-        grid=grid,
+        grid=(n,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((1, s_in, w, c), x.dtype),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, s_in, wq, c), x.dtype),
+            pltpu.VMEM((2, hb_out, w_out, c), x.dtype),
+            pltpu.VMEM((hb_out, w_out, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x, kernel, scale.reshape(1, 1, c), bias.reshape(1, 1, c),
-      drop_mask.reshape(n, 1, c))
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(_stage(x, pad_t, h_stage, pad_l, wq), kernel, scale.reshape(1, 1, c),
+      bias.reshape(1, 1, c), drop_mask.reshape(n, 1, c))
 
     if want_mean:
         y, total = outs
         return y, total[:, 0, :] / float(h_out * w_out)
     return outs[0]
+
+
+def _stage(x, pad_t, h_stage, pad_l, wq):
+    """Zero-pad H/W to the staged shape (fused into the producer by XLA)."""
+    n, h, w, c = x.shape
+    if h_stage == h and wq == w:
+        return x
+    return jnp.pad(x, ((0, 0), (pad_t, h_stage - h - pad_t),
+                       (pad_l, wq - w - pad_l), (0, 0)))
 
 
 def fold_bn(gamma, beta, mean, var, eps: float):
