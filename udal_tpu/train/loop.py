@@ -79,6 +79,21 @@ def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
     metrics_writer = MetricsWriter(os.path.join(model_dir, "logs"),
                                    use_tensorboard=False)
 
+    if coco_eval_fn is None and val_iter_fn is not None and val_steps > 0 \
+            and int(config.get("map_freq", 0) or 0) > 0:
+        # default per-epoch COCO callback with the TB image suites
+        # (ref `train_lib.py:291-617`)
+        from udal_tpu.data.label_maps import get_label_map
+        from udal_tpu.train.callbacks import COCOCallback
+
+        try:
+            lmap = get_label_map(config.label_map)
+        except Exception:  # noqa: BLE001 - unknown label map
+            lmap = None
+        coco_eval_fn = COCOCallback(config, model, val_iter_fn, val_steps,
+                                    os.path.join(model_dir, "logs"),
+                                    label_map=lmap)
+
     for epoch in range(start_epoch, int(config.num_epochs)):
         t0 = time.time()
         losses = []
@@ -113,7 +128,12 @@ def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
 
         if coco_eval_fn is not None and config.map_freq and \
                 (epoch + 1) % int(config.map_freq) == 0:
-            ap = coco_eval_fn(state)
+            try:
+                # COCOCallback signature: (epoch, state, writer) — logs the
+                # TB image suites (AP-vs-IoU, confusion, ROC, NMS grid)
+                ap = coco_eval_fn(epoch + 1, state, metrics_writer)
+            except TypeError:
+                ap = coco_eval_fn(state)
             history.setdefault("AP", []).append(float(ap))
             msg += f" AP={ap:.4f}"
 

@@ -40,6 +40,22 @@ class MetricsWriter:
                     tf.summary.scalar(k, float(v), step=int(step))
                 self._tb.flush()
 
+    def write_image(self, step: int, tag: str, image) -> None:
+        """Write an HWC uint8 image summary (TensorBoard when available).
+
+        Parity with the reference's TB image suites
+        (`train_lib.py:291-617`); PNG fallbacks are handled by the caller.
+        """
+        if self._tb is None:
+            return
+        import numpy as np
+        import tensorflow as tf
+
+        img = np.asarray(image)[None]
+        with self._tb.as_default():
+            tf.summary.image(tag, img, step=int(step))
+            self._tb.flush()
+
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
