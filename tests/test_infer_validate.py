@@ -105,3 +105,45 @@ def test_validator_infer_augment(tmp_path, driver, synth_batches):
     # augmented variants contributed rows alongside the clean pass
     assert tags <= {"histeq", "vflip", "hflip"}
     assert any("@" not in r["image_name"] for r in rows)
+
+
+def test_get_ocl_trc_kitti_and_fallback(tmp_path):
+    """Occlusion/truncation GT metadata readers (ref dataset_data.py:25-84);
+    validate_results rows carry real values when a dataset root is given."""
+    import os
+
+    from udal_tpu.data.label_maps import get_ocl_trc
+
+    root = tmp_path / "KITTI"
+    lbl = root / "training" / "label_2"
+    os.makedirs(lbl)
+    (lbl / "000001.txt").write_text(
+        "Car 0.10 1 -1 0 0 10 10 0 0 0 0 0 0 0\n"
+        "Pedestrian 0.50 2 -1 0 0 10 10 0 0 0 0 0 0 0\n"
+        "DontCare -1 -1 -1 0 0 0 0 0 0 0 0 0 0 0\n")
+    occl, trcs = get_ocl_trc(str(root), ["000001.png", "missing.png"])
+    assert occl[0] == [1.0, 2.0] and trcs[0] == [0.10, 0.50]
+    assert occl[1] == [-1.0] * 100          # missing file placeholder
+    # unknown dataset → placeholders
+    occl, trcs = get_ocl_trc("/elsewhere", ["a.png"])
+    assert occl[0][0] == -1.0
+
+
+def test_get_ocl_trc_bdd(tmp_path):
+    import json
+    import os
+
+    from udal_tpu.data.label_maps import get_ocl_trc
+
+    root = tmp_path / "BDD100K"
+    lbl = root / "bdd100k" / "labels"
+    os.makedirs(lbl)
+    data = [{"name": "img1.jpg", "labels": [
+        {"category": "car", "attributes": {"occluded": True,
+                                           "truncated": False}},
+        {"category": "drivable area", "attributes": {"occluded": False,
+                                                     "truncated": False}},
+    ]}]
+    (lbl / "bdd100k_labels_images_val.json").write_text(json.dumps(data))
+    occl, trcs = get_ocl_trc(str(root), ["img1.jpg"])
+    assert occl[0] == [1.0] and trcs[0] == [0.0]

@@ -109,3 +109,31 @@ def test_serve_sharded_over_mesh():
     ref = d._serve_fn(d.variables, jnp.asarray(imgs),
                       jax.random.PRNGKey(0))
     assert np.asarray(valid).shape == (8,)
+
+
+def test_video_inference_mode(tmp_path):
+    """Inspector mode 4 parity: per-frame video inference with overlays
+    (`/root/reference/src/inspector.py:229-306`)."""
+    import os
+
+    import cv2
+
+    from udal_tpu.cli import run_video_inference
+
+    video = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 5.0,
+                        (160, 96))
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        w.write(rng.randint(0, 255, (96, 160, 3), np.uint8))
+    w.release()
+
+    d = _driver(batch_size=1)
+    out_video = str(tmp_path / "out.mp4")
+    frames_dir = str(tmp_path / "frames")
+    n = run_video_inference(d, video, output_video=out_video,
+                            frames_dir=frames_dir, min_score=0.0,
+                            max_frames=2)
+    assert n == 2
+    assert os.path.exists(out_video) and os.path.getsize(out_video) > 0
+    assert len(os.listdir(frames_dir)) == 2

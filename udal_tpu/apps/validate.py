@@ -35,10 +35,15 @@ class Validator:
 
     def __init__(self, driver: ServingDriver, save_dir: str,
                  calib_dir: Optional[str] = None,
-                 infer_augment: Optional[List[str]] = None):
+                 infer_augment: Optional[List[str]] = None,
+                 dataset_root: Optional[str] = None):
         self.driver = driver
         self.config = driver.config
         self.save_dir = save_dir
+        # per-image occlusion/truncation GT metadata source (KITTI label_2
+        # txt / BDD json — `dataset_data.py:25-84`); None -> -1 placeholders
+        self.dataset_root = dataset_root
+        self._ocl_trc_cache = {}
         # infer-time augmentation modes ⊆ {heq, alb, aug, flip} — parity
         # `validate_model.py:485-523`
         self.infer_augment = infer_augment or \
@@ -164,8 +169,8 @@ class Validator:
                 "score": float(scores[d]),
                 "bbox": [float(x) for x in boxes[d]],
                 "gt_bbox": [float(x) for x in gt_boxes[g]],
-                "gt_occl": -1,
-                "gt_trunc": -1,
+                "gt_occl": self._gt_ocl_trc(name, g)[0],
+                "gt_trunc": self._gt_ocl_trc(name, g)[1],
                 "class": float(classes[d]),
                 "gt_class": float(gt_classes[g]),
                 "iou": float(ious[g]),
@@ -188,6 +193,21 @@ class Validator:
                 row[f"{k}_entropy"] = float(v["entropy"][g])
             rows.append(row)
         return rows
+
+    def _gt_ocl_trc(self, name, g):
+        """Occlusion/truncation of GT #g in this image (or -1, -1)."""
+        if self.dataset_root is None:
+            return -1, -1
+        base = name.split("@")[0]
+        if base not in self._ocl_trc_cache:
+            from udal_tpu.data.label_maps import get_ocl_trc
+
+            occl, trcs = get_ocl_trc(self.dataset_root, [base])
+            self._ocl_trc_cache[base] = (occl[0], trcs[0])
+        occl, trcs = self._ocl_trc_cache[base]
+        if g < len(occl):
+            return float(occl[g]), float(trcs[g])
+        return -1, -1
 
     # -- artifacts ---------------------------------------------------------------
 

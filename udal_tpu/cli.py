@@ -209,22 +209,32 @@ def cmd_inspect(args) -> None:
         h, w = 512, 512
         imgs = np.random.rand(args.batch_size, h, w, 3).astype(np.float32)
         print(driver.benchmark(imgs))
-    elif args.mode in ("inference", "auto-label"):
+    elif args.mode in ("inference", "auto-label", "ssal", "SSAL"):
         from udal_tpu.apps.infer import InferImages
         from udal_tpu.data.dataloader import InputReader
 
+        # SSAL = semi-supervised auto-labeling: the reference routes it to
+        # the same InferImages path with the auto-label gate active
+        # (`inspector.py:185-204,314-322`); the pseudo-label artifacts feed
+        # apps.ssl.STAC.
+        auto = args.mode != "inference"
         reader = InputReader(args.val_file_pattern, is_training=False,
                              names=True)
         app = InferImages(driver, args.output_dir or "infer_out",
                           calib_dir=args.calib_dir,
-                          auto_labeling=(args.mode == "auto-label"),
-                          opt_params=[0.5, 0.5] if args.mode == "auto-label"
-                          else None,
+                          auto_labeling=auto,
+                          opt_params=[0.5, 0.5] if auto else None,
                           opt_thrs_path=args.opt_thrs_path)
         batches = ((imgs, labels["image_names"])
                    for imgs, labels in reader(config, args.batch_size))
         rows = app.run(batches)
         print(f"wrote {len(rows)} detections")
+    elif args.mode == "video":
+        n = run_video_inference(
+            driver, args.video_path, output_video=args.output_video,
+            frames_dir=args.output_dir,
+            max_frames=args.infer_last_frame or None)
+        print(f"processed {n} video frames")
     elif args.mode == "validate":
         from udal_tpu.apps.validate import Validator
         from udal_tpu.data.dataloader import InputReader
@@ -246,6 +256,60 @@ def cmd_inspect(args) -> None:
         print("calibrators written")
     else:
         raise SystemExit(f"unknown mode {args.mode}")
+
+
+def run_video_inference(driver, video_path: str,
+                        output_video: Optional[str] = None,
+                        frames_dir: Optional[str] = None,
+                        min_score: Optional[float] = None,
+                        max_frames: Optional[int] = None) -> int:
+    """Per-frame video inference with detection overlays.
+
+    Parity: inspector mode 4 (`/root/reference/src/inspector.py:229-306`) —
+    reads frames with cv2, serves each through the driver, draws boxes, and
+    writes either an output video or per-frame PNGs (no interactive stop).
+    """
+    import cv2
+    import numpy as np
+
+    from udal_tpu.utils.visualize import visualize_boxes_and_labels
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise SystemExit(f"error opening input video: {video_path}")
+    out_ptr = None
+    if output_video:
+        w, h = int(cap.get(3)), int(cap.get(4))
+        out_ptr = cv2.VideoWriter(output_video,
+                                  cv2.VideoWriter_fourcc(*"mp4v"),
+                                  cap.get(5) or 25.0, (w, h))
+    if frames_dir:
+        os.makedirs(frames_dir, exist_ok=True)
+    thr = min_score if min_score is not None else \
+        (driver.config.nms_configs.get("score_thresh") or 0.4)
+    i = 0
+    while cap.isOpened():
+        ret, frame = cap.read()
+        if not ret or (max_frames and i >= max_frames):
+            break
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        det = driver.serve_detections(rgb[None].astype(np.float32))
+        boxes = np.asarray(det.boxes[0])
+        scores = np.asarray(det.scores[0])
+        classes = np.asarray(det.classes[0]).astype(int)
+        keep = scores > thr
+        vis = visualize_boxes_and_labels(rgb, boxes[keep], classes[keep],
+                                         scores[keep])
+        bgr = cv2.cvtColor(vis, cv2.COLOR_RGB2BGR)
+        if out_ptr is not None:
+            out_ptr.write(bgr)
+        if frames_dir:
+            cv2.imwrite(os.path.join(frames_dir, f"frame_{i}.png"), bgr)
+        i += 1
+    cap.release()
+    if out_ptr is not None:
+        out_ptr.release()
+    return i
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -285,7 +349,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(i)
     i.add_argument("--mode", required=True,
                    choices=["export", "inference", "calibrate", "validate",
-                            "auto-label", "benchmark"])
+                            "auto-label", "ssal", "SSAL", "video",
+                            "benchmark"])
+    i.add_argument("--video_path", default=None)
+    i.add_argument("--output_video", default=None)
+    i.add_argument("--infer_last_frame", type=int, default=0)
     i.add_argument("--output_dir", default=None)
     i.add_argument("--calib_dir", default=None)
     i.add_argument("--opt_thrs_path", default=None)

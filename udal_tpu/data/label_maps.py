@@ -98,3 +98,60 @@ def get_dataset_data(path: str, im_name: Optional[str] = None
     img_file = (img_source_path + im_name) if (im_name and img_source_path) \
         else None
     return label_map, img_source_path, class_names, img_shape, img_file
+
+
+def get_ocl_trc(dataset_root: str, img_names: List[str]
+                ) -> Tuple[List[List[float]], List[List[float]]]:
+    """Per-image occlusion/truncation ground-truth metadata.
+
+    Parity: `dataset_data.get_ocl_trc` (`/root/reference/src/
+    dataset_data.py:25-84`) — KITTI reads the label_2 txt columns
+    (1 = truncated, 2 = occluded); BDD reads the val-labels json
+    attributes. Images without metadata get [-1]*100 placeholders.
+    """
+    import json
+    import os
+
+    occlusions: List[List[float]] = []
+    truncations: List[List[float]] = []
+    if "KITTI" in dataset_root:
+        for im_name in img_names:
+            stem = os.path.splitext(os.path.basename(im_name))[0]
+            path = os.path.join(dataset_root, "training", "label_2",
+                                stem + ".txt")
+            occl: List[float] = []
+            trcs: List[float] = []
+            if os.path.exists(path):
+                with open(path) as f:
+                    for line in f:
+                        parts = line.split(" ")
+                        if len(parts) > 2 and parts[0] != "DontCare":
+                            trcs.append(float(parts[1]))
+                            occl.append(float(parts[2]))
+            occlusions.append(occl or [-1.0] * 100)
+            truncations.append(trcs or [-1.0] * 100)
+        return occlusions, truncations
+    if "BDD" in dataset_root:
+        label_names = set(BDD.values())
+        path = os.path.join(dataset_root, "bdd100k", "labels",
+                            "bdd100k_labels_images_val.json")
+        by_name = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for entry in json.load(f):
+                    occl = [float(l["attributes"].get("occluded", -1))
+                            for l in entry.get("labels", [])
+                            if l.get("category") in label_names]
+                    trcs = [float(l["attributes"].get("truncated", -1))
+                            for l in entry.get("labels", [])
+                            if l.get("category") in label_names]
+                    by_name[entry["name"]] = (occl, trcs)
+        for im_name in img_names:
+            occl, trcs = by_name.get(os.path.basename(im_name), ([], []))
+            occlusions.append(occl or [-1.0] * 100)
+            truncations.append(trcs or [-1.0] * 100)
+        return occlusions, truncations
+    for _ in img_names:
+        occlusions.append([-1.0] * 100)
+        truncations.append([-1.0] * 100)
+    return occlusions, truncations

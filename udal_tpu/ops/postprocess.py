@@ -219,20 +219,25 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
     classes = jnp.take_along_axis(g, anc[:, None, :], axis=1)[:, 0]
 
     def gather_box(t):       # [T?, B, S*A*4, R] -> [T?, B, M, S, 4]
+        # One flat gather along the minor axis with combined
+        # (sigma-half, anchor, coord, row) indices: the two-step
+        # take_along_axis version materializes a [B·M, T, S, A, 4]
+        # intermediate in a 4-lane tiled layout (~20ms/step at the d0 op
+        # point); this gathers exactly the M·S·4 needed elements.
         lead = t.shape[:-2]
-        t = t.reshape(lead + (halves, num_anc, 4, t.shape[-1]))
+        r = t.shape[-1]
+        flat = t.reshape(lead + (halves * num_anc * 4 * r,))
+        m = rows.shape[1]
+        s_idx = jnp.arange(halves, dtype=jnp.int32)
+        c_idx = jnp.arange(4, dtype=jnp.int32)
+        ch = (s_idx[None, None, :, None] * num_anc
+              + anc[:, :, None, None]) * 4 + c_idx[None, None, None, :]
+        eidx = (ch * r + rows[:, :, None, None]).reshape(b, m * halves * 4)
         if len(lead) == 2:   # [T, B, ...]
-            g = jnp.take_along_axis(
-                t, rows[None, :, None, None, None, :], axis=5)
-            g = jnp.take_along_axis(
-                g, anc[None, :, None, None, None, :], axis=3)[:, :, :, 0]
-        else:
-            g = jnp.take_along_axis(
-                t, rows[:, None, None, None, :], axis=4)
-            g = jnp.take_along_axis(
-                g, anc[:, None, None, None, :], axis=2)[:, :, 0]
-        # [T?, B, S, 4, M] -> [T?, B, M, S, 4]  (small: M candidates only)
-        return jnp.moveaxis(g, -1, -3)
+            g = jnp.take_along_axis(flat, eidx[None], axis=-1)
+            return g.reshape(lead + (m, halves, 4))
+        g = jnp.take_along_axis(flat, eidx, axis=-1)
+        return g.reshape(lead + (m, halves, 4))
 
     box_g = gather_box(box_t)                              # [T?, B, M, S, 4]
     box_mu = box_g[..., 0, :]
