@@ -106,3 +106,129 @@ def test_parity_with_pycocotools_if_available(seed):
     np.testing.assert_allclose(res["AP50"], E.stats[1], atol=1e-6)
     np.testing.assert_allclose(res["AP75"], E.stats[2], atol=1e-6)
     np.testing.assert_allclose(res["ARmax100"], E.stats[8], atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_parity_with_vendored_cocoeval(seed):
+    """VERDICT r1 #5: cross-check against the real COCOeval algorithm.
+
+    pycocotools is not installed in this image, but the reference vendors a
+    verbatim upstream `cocoeval.py` (`/root/reference/src/
+    custom_cocoeval.py`, only the IoU grid widened to 0.05:0.05:0.95). It is
+    imported READ-ONLY as the oracle, with `pycocotools.mask.iou` stubbed by
+    the documented xywh-IoU math and a minimal COCO index — so the parity
+    check actually runs in CI.
+    """
+    import sys
+    import types
+
+    def bb_iou(dt, gt, iscrowd):
+        dt = np.asarray(dt, float)
+        gt = np.asarray(gt, float)
+        out = np.zeros((len(dt), len(gt)))
+        for j, g in enumerate(gt):
+            gx1, gy1, gx2, gy2 = g[0], g[1], g[0] + g[2], g[1] + g[3]
+            for i, d in enumerate(dt):
+                dx1, dy1, dx2, dy2 = d[0], d[1], d[0] + d[2], d[1] + d[3]
+                iw = min(dx2, gx2) - max(dx1, gx1)
+                ih = min(dy2, gy2) - max(dy1, gy1)
+                if iw <= 0 or ih <= 0:
+                    continue
+                inter = iw * ih
+                union = d[2] * d[3] if iscrowd[j] else \
+                    d[2] * d[3] + g[2] * g[3] - inter
+                out[i, j] = inter / union
+        return out
+
+    mask_mod = types.ModuleType("pycocotools.mask")
+    mask_mod.iou = bb_iou
+    pkg = types.ModuleType("pycocotools")
+    pkg.__path__ = []
+    pkg.mask = mask_mod
+    sys.modules.setdefault("pycocotools", pkg)
+    sys.modules["pycocotools.mask"] = mask_mod
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    try:
+        import custom_cocoeval
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference cocoeval unavailable: {e}")
+
+    class MiniCOCO:
+        """The slice of the pycocotools COCO index cocoeval touches."""
+
+        def __init__(self, anns, img_ids, cat_ids):
+            self.anns = anns
+            self.img_ids = sorted(img_ids)
+            self.cat_ids = sorted(cat_ids)
+
+        def getImgIds(self):
+            return list(self.img_ids)
+
+        def getCatIds(self):
+            return list(self.cat_ids)
+
+        def getAnnIds(self, imgIds=None, catIds=None):
+            img_set = set(imgIds) if imgIds else None
+            cat_set = set(catIds) if catIds else None
+            return [a["id"] for a in self.anns
+                    if (img_set is None or a["image_id"] in img_set)
+                    and (cat_set is None or a["category_id"] in cat_set)]
+
+        def loadAnns(self, ids):
+            by_id = {a["id"]: a for a in self.anns}
+            return [dict(by_id[i]) for i in ids]
+
+    rng = np.random.RandomState(seed)
+    n_img, n_cls = 4, 3
+    gt_ann, det_ann = [], []
+    ev = COCOEvaluator(fine_grid=True)
+    for img in range(n_img):
+        gts, dd = [], []
+        for _ in range(rng.randint(1, 5)):
+            x, y = rng.uniform(0, 200, 2)
+            w, h = rng.uniform(20, 80, 2)
+            c = rng.randint(1, n_cls + 1)
+            gt_ann.append({"id": len(gt_ann) + 1, "image_id": img,
+                           "category_id": c, "bbox": [x, y, w, h],
+                           "area": w * h, "iscrowd": 0, "ignore": 0})
+            gts.append(_gt_row(y, x, y + h, x + w, c))
+            if rng.rand() < 0.8:
+                jx, jy = rng.uniform(-8, 8, 2)
+                s = rng.uniform(0.3, 1)
+                det_ann.append({"id": len(det_ann) + 1, "image_id": img,
+                                "category_id": c,
+                                "bbox": [x + jx, y + jy, w, h],
+                                "area": w * h, "score": s, "iscrowd": 0,
+                                "ignore": 0})
+                dd.append(_det_row(img, x + jx, y + jy, w, h, s, c))
+        for _ in range(rng.randint(0, 3)):
+            x, y = rng.uniform(0, 250, 2)
+            s = rng.uniform(0.05, 0.5)
+            c = rng.randint(1, n_cls + 1)
+            det_ann.append({"id": len(det_ann) + 1, "image_id": img,
+                            "category_id": c, "bbox": [x, y, 20, 20],
+                            "area": 400.0, "score": s, "iscrowd": 0,
+                            "ignore": 0})
+            dd.append(_det_row(img, x, y, 20, 20, s, c))
+        while len(gts) < 8:
+            gts.append([0] * 7)
+        while len(dd) < 8:
+            dd.append([img] + [0] * 6)
+        ev.update_state(np.asarray([gts], float), np.asarray([dd], float))
+
+    cocoGt = MiniCOCO(gt_ann, range(n_img), range(1, n_cls + 1))
+    cocoDt = MiniCOCO(det_ann, range(n_img), range(1, n_cls + 1))
+    E = custom_cocoeval.COCOeval_all(cocoGt, cocoDt, iouType="bbox")
+    E.evaluate()
+    E.accumulate()
+
+    res = ev.result()
+    prec = E.eval["precision"]     # [T, R, K, A, M]
+    thrs = E.params.iouThrs
+    for ti, thr in enumerate(thrs):
+        p = prec[ti, :, :, 0, -1]
+        oracle_ap = np.mean(p[p > -1]) if (p > -1).any() else -1.0
+        ours = res[f"AP@{thr:.2f}"]
+        np.testing.assert_allclose(ours, oracle_ap, atol=1e-6,
+                                   err_msg=f"AP@{thr:.2f}")

@@ -111,3 +111,45 @@ def test_l2_regularization_excludes_bn_and_bias():
     }
     reg = float(loss_lib.l2_regularization(params, 2.0))
     assert reg == pytest.approx(4.0)  # only conv kernel: 2.0 * 4 / 2
+
+
+def test_box_loss_strict_parity_mode():
+    """strict_parity reproduces the reference's second-half-slice sigma^2/2
+    compensation (`train_lib.py:817-845`); default mode compensates the
+    true (th, tw) channels. Both modes agree when the same channels are
+    selected (A=1: second half == (th, tw))."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from udal_tpu.train.losses import box_loss
+
+    rng = np.random.RandomState(0)
+    # A=1 anchor: channel layout (ty, tx, th, tw | s_y, s_x, s_h, s_w) —
+    # the second half of mu IS (th, tw), so both modes must agree exactly
+    t = jnp.asarray(rng.randn(2, 4, 4, 4), jnp.float32)
+    o = jnp.asarray(rng.randn(2, 4, 4, 8), jnp.float32)
+    npos = jnp.asarray(3.0)
+    a = box_loss(t, o, npos, loss_att=True, loss_type="mse",
+                 strict_parity=False)
+    b = box_loss(t, o, npos, loss_att=True, loss_type="mse",
+                 strict_parity=True)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+    # A=2 anchors: strict slices anchors {1}, default slices coords {2,3}
+    t2 = jnp.asarray(rng.randn(2, 4, 4, 8), jnp.float32)
+    o2 = jnp.asarray(rng.randn(2, 4, 4, 16), jnp.float32)
+    a2 = box_loss(t2, o2, npos, loss_att=True, loss_type="mse",
+                  strict_parity=False)
+    b2 = box_loss(t2, o2, npos, loss_att=True, loss_type="mse",
+                  strict_parity=True)
+    assert abs(float(a2) - float(b2)) > 1e-8
+
+    # strict mode hand-check: mu + [0]*half + sigma^2/2 on second half
+    mu, sigma = np.asarray(o2[..., :8]), np.asarray(o2[..., 8:])
+    mu_adj = mu.copy()
+    mu_adj[..., 4:] += sigma[..., 4:] ** 2 / 2
+    mask = (np.asarray(t2) != 0).astype(np.float32)
+    nll = ((np.asarray(t2) - mu_adj) ** 2 / sigma ** 2 +
+           np.log1p(sigma ** 2))
+    expect = 0.25 * np.sum(nll * mask) / (3.0 * 4.0)
+    np.testing.assert_allclose(float(b2), expect, rtol=1e-5)

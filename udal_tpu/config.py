@@ -175,6 +175,10 @@ def default_detection_configs() -> Config:
     h.early_stopping_patience = 0
     h.infer_draw_uncert = True
     h.loss_attenuation = False          # aleatoric box uncertainty head
+    # reproduce the reference's sigma^2/2 compensation slice bit-exactly
+    # (second half of the mu channels, `train_lib.py:817-845`) instead of
+    # the true (th, tw) channels — see losses.box_loss(strict_parity=...)
+    h.strict_loss_parity = False
     h.clip_min_uncert = 0.01
     h.clip_max_uncert = 1024
     h.uncert_adjust_method = "l-norm"   # [l-norm, n-flow, falsedec, sample]

@@ -69,7 +69,8 @@ def clip_uncert_channels(box_output: jnp.ndarray, clip_min: float,
 def box_loss(box_targets: jnp.ndarray, box_output: jnp.ndarray,
              num_positives: jnp.ndarray, delta: float = 0.1,
              loss_att: bool = False, loss_type: str = "huber",
-             pseudo_scores: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+             pseudo_scores: Optional[jnp.ndarray] = None,
+             strict_parity: bool = False) -> jnp.ndarray:
     """Per-level box regression loss — parity `train_lib.py:789-870`.
 
     Args:
@@ -77,17 +78,26 @@ def box_loss(box_targets: jnp.ndarray, box_output: jnp.ndarray,
       box_output: [B, H, W, 4A] or [B, H, W, 8A] with attenuation.
       num_positives: scalar normalizer (sum positives + 1).
       pseudo_scores: optional [B] per-image weights.
+      strict_parity: reproduce the reference's sigma^2/2 compensation slice
+        bit-exactly — the reference adds it to the SECOND HALF of the mu
+        channel axis (`train_lib.py:817-845`), which under the per-anchor
+        (a, coord) interleaved layout is the latter half of the anchors
+        rather than the (th, tw) coords; False applies it to the true
+        (th, tw) channels of every anchor (the decode the compensation
+        exists for). A/B: docs/LOSS_PARITY_AB.md.
     """
     normalizer = num_positives * 4.0
     if loss_att:
         half = box_output.shape[-1] // 2
         sigma = box_output[..., half:]
         mu = box_output[..., :half]
-        # add sigma^2/2 to the (th, tw) channels to compensate the log-normal
-        # decode (see module docstring for the deviation note)
         n_anchors4 = mu.shape[-1]
-        coord = jnp.arange(n_anchors4) % 4
-        hw_mask = (coord >= 2).astype(mu.dtype)
+        if strict_parity:
+            idx = jnp.arange(n_anchors4)
+            hw_mask = (idx >= n_anchors4 // 2).astype(mu.dtype)
+        else:
+            coord = jnp.arange(n_anchors4) % 4
+            hw_mask = (coord >= 2).astype(mu.dtype)
         mu = mu + hw_mask * jnp.square(sigma) / 2.0
         box_output = mu
 
@@ -143,7 +153,8 @@ def detection_loss(config, cls_outputs: Sequence[jnp.ndarray],
             num_positives_sum, delta=config.delta,
             loss_att=bool(config.loss_attenuation),
             loss_type="huber" if config.boxloss_type == "huber" else "mse",
-            pseudo_scores=pseudo_scores))
+            pseudo_scores=pseudo_scores,
+            strict_parity=bool(config.get("strict_loss_parity", False))))
 
     cls_loss_total = sum(cls_losses)
     if config.loss_attenuation:
