@@ -1,0 +1,113 @@
+"""Visual-artifact tail tests (VERDICT r1 item 9)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_reliability_diagram_metrics(tmp_path):
+    from udal_tpu.utils.uncert_plots import reliability_diagram
+
+    rng = np.random.RandomState(0)
+    conf = rng.rand(500)
+    correct = (rng.rand(500) < conf).astype(float)   # near-calibrated
+    m = reliability_diagram(correct, conf, str(tmp_path / "rel.png"))
+    assert os.path.exists(tmp_path / "rel.png")
+    assert 0 <= m["ECE"] < 0.15 and m["MCE"] >= m["ECE"]
+    # badly calibrated: overconfident everywhere
+    m2 = reliability_diagram(np.zeros(500), np.full(500, 0.95),
+                             str(tmp_path / "rel2.png"))
+    assert m2["ECE"] > 0.8
+
+
+def test_regression_calibration_plot(tmp_path):
+    from udal_tpu.utils.uncert_plots import regression_calibration_plot
+
+    rng = np.random.RandomState(1)
+    sigma = rng.rand(2000) + 0.2
+    res = rng.randn(2000) * sigma        # perfectly calibrated
+    m = regression_calibration_plot(res, sigma, str(tmp_path / "c.png"))
+    assert m["miscal_area"] < 0.05
+    m2 = regression_calibration_plot(res * 3, sigma,
+                                     str(tmp_path / "c2.png"))
+    assert m2["miscal_area"] > m["miscal_area"]
+
+
+def test_spider_heatmap_top10(tmp_path):
+    from udal_tpu.utils.uncert_plots import (metric_heatmap, spider_plot,
+                                             top10_panel)
+
+    table = {"ENT": {"auc": 0.8, "fdcd": 30.0, "jsd": 0.2},
+             "ALBOX": {"auc": 0.7, "fdcd": 40.0, "jsd": 0.1}}
+    p = spider_plot(table, str(tmp_path / "spider.png"))
+    assert os.path.exists(p)
+    p = metric_heatmap(np.random.rand(2, 6), [f"i{i}" for i in range(6)],
+                       ["a", "b"], str(tmp_path / "hm.png"))
+    assert os.path.exists(p)
+    imgs = [np.zeros((20, 30, 3), np.uint8)] * 3
+    p = top10_panel(imgs, ["x", "y", "z"], str(tmp_path / "t10.png"))
+    assert os.path.exists(p)
+
+
+def test_brisque_like_score_orders_quality():
+    from udal_tpu.utils.uncert_plots import brisque_like_score
+
+    rng = np.random.RandomState(2)
+    # natural-ish image: smooth structure + texture
+    x, y = np.meshgrid(np.linspace(0, 4, 128), np.linspace(0, 4, 128))
+    clean = (np.sin(x * 3) * np.cos(y * 2) * 60 + 120 +
+             rng.randn(128, 128) * 10)
+    clean = np.clip(clean, 0, 255).astype(np.uint8)
+    blurred = np.asarray(
+        __import__("cv2").GaussianBlur(clean, (15, 15), 6))
+    s_clean = brisque_like_score(clean)
+    s_blur = brisque_like_score(blurred)
+    assert s_blur > s_clean   # heavy blur = more distorted
+
+
+def test_quadrant_crop_export(tmp_path):
+    from udal_tpu.apps.uncertainty_analysis import export_quadrant_crops
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (64, 96, 3), np.uint8)
+    rows = []
+    for i in range(30):
+        rows.append({
+            "image_name": "im.png",
+            "bbox": [5.0, 5.0, 40.0, 60.0],
+            "gt_bbox": [5.0, 5.0, 40.0, 60.0],
+            "class": 1.0, "gt_class": 1.0, "iou": 0.9,
+            "uncalib_mcbox": list(rng.rand(4)),
+            "uncalib_albox": list(rng.rand(4)),
+        })
+    res = export_quadrant_crops(rows, lambda name: img, str(tmp_path),
+                                n_cells=2, per_cell=2)
+    assert "quality_epistemic_corr" in res
+    saved = sum(res["crop_counts"].values())
+    assert saved > 0
+    assert any(p.startswith("cell_") for p in os.listdir(tmp_path))
+
+
+def test_infer_overlays_and_buckets(tmp_path):
+    """InferImages saves per-image overlay PNGs and top/bottom-10%
+    uncertainty buckets (ref `infer_model.py:476-552,962-1059`)."""
+    from udal_tpu.apps.infer import InferImages
+    from udal_tpu.apps.serving import ServingDriver
+
+    d = ServingDriver.create(
+        "efficientdet-d0", batch_size=2,
+        overrides={"image_size": 128, "num_classes": 8,
+                   "loss_attenuation": True, "enable_softmax": True})
+    app = InferImages(d, str(tmp_path / "out"), save_visualizations=True,
+                      bucket_fraction=0.5)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (2, 96, 160, 3), np.uint8).astype(np.float32)
+    app.run([(imgs, ["a.png", "b.png"])])
+    out = tmp_path / "out"
+    assert (out / "prediction_data.txt").exists()
+    vis = list((out / "visualizations").glob("*.png")) \
+        if (out / "visualizations").exists() else []
+    assert len(vis) >= 1
+    assert (out / "top10" / "images.txt").exists()
+    assert (out / "bottom10" / "images.txt").exists()

@@ -99,5 +99,45 @@ class Calibrate:
                 cc = ClassificationCalib(data["gt_classes"], data["logits"],
                                          sigma_cls, num_classes)
                 classification = cc.fit_all()
+                self._reliability_diagrams(data, classification)
+            if data["sigma_al"].size:
+                self._regression_plots(data)
         save_calibrators(self.out_dir, regression, classification)
         return regression, classification
+
+    def _reliability_diagrams(self, data, classification) -> None:
+        """Before/after-TS reliability diagrams — parity
+        `calibrate_classification.py:97-440`."""
+        import numpy as np
+
+        from udal_tpu.apps.calibration import stable_softmax
+        from udal_tpu.utils.uncert_plots import reliability_diagram
+
+        logits = np.asarray(data["logits"])
+        y = np.asarray(data["gt_classes"]).astype(int)
+        plots = os.path.join(self.out_dir, "plots")
+        probs = stable_softmax(logits)
+        pred = probs.argmax(-1) + 1
+        reliability_diagram((pred == y).astype(float), probs.max(-1),
+                            os.path.join(plots, "reliability_raw.png"),
+                            title="raw softmax")
+        t = classification.get("ts_all")
+        if t is not None:
+            probs_t = stable_softmax(logits / np.asarray(t))
+            reliability_diagram((probs_t.argmax(-1) + 1 == y).astype(float),
+                                probs_t.max(-1),
+                                os.path.join(plots, "reliability_ts.png"),
+                                title="temperature scaled")
+
+    def _regression_plots(self, data) -> None:
+        """Aleatoric-sigma calibration curve — parity with the
+        uncertainty-toolbox panel (`validate_model.py:737-794`)."""
+        import numpy as np
+
+        from udal_tpu.utils.uncert_plots import regression_calibration_plot
+
+        res = np.asarray(data["gt_boxes"]) - np.asarray(data["pred_boxes"])
+        regression_calibration_plot(
+            res.ravel(), np.asarray(data["sigma_al"]).ravel(),
+            os.path.join(self.out_dir, "plots", "regression_reliability.png"),
+            title="aleatoric box sigma")

@@ -83,12 +83,19 @@ class InferImages:
                  auto_labeling: bool = False,
                  opt_params: Optional[Sequence[float]] = None,
                  opt_thrs_path: Optional[str] = None,
-                 min_score: float = 0.0):
+                 min_score: float = 0.0,
+                 save_visualizations: bool = False,
+                 bucket_fraction: float = 0.1):
         self.driver = driver
         self.config = driver.config
         self.save_dir = save_dir
         self.min_score = min_score
         self.auto_labeling = auto_labeling
+        # detection+uncertainty overlay PNGs (ref `infer_model.py:962-1059`)
+        self.save_visualizations = save_visualizations
+        # top/bottom-uncertainty image buckets (ref `infer_model.py:476-552`)
+        self.bucket_fraction = bucket_fraction
+        self._image_uncert: List[Tuple[str, float]] = []
         os.makedirs(save_dir, exist_ok=True)
         self.box_calib = self.cls_calib = None
         if calib_dir and os.path.isdir(calib_dir):
@@ -160,8 +167,22 @@ class InferImages:
                     calibrated_cls = self.cls_calib(out["logits"][i][:n_val])
 
                 combined = None
-                if self.auto_labeling and n_val:
+                if n_val:
                     combined = self._combined_uncertainty(entropy_i, rel_al)
+                # per-image mean uncertainty for the top/bottom-10% buckets
+                if n_val:
+                    if combined is not None:
+                        img_u = float(np.mean(combined))
+                    elif entropy_i is not None:
+                        img_u = float(np.mean(entropy_i))
+                    elif rel_al is not None:
+                        img_u = float(np.mean(rel_al))
+                    else:
+                        img_u = float(-np.mean(scores))
+                    self._image_uncert.append((names[i], img_u))
+                if self.save_visualizations and n_val:
+                    self._save_overlay(images[i], names[i], boxes, classes,
+                                       scores, rel_al)
                 subdir = ""
                 if self.auto_labeling:
                     ok = combined is not None and self._gate(combined, scores)
@@ -214,7 +235,45 @@ class InferImages:
                 with open(os.path.join(self.save_dir, name, "images.txt"),
                           "w") as f:
                     f.write("\n".join(lst))
+        self._write_buckets()
         return rows
+
+    def _save_overlay(self, image, name, boxes, classes, scores, rel_al):
+        """Per-image detection + uncertainty-colored overlay PNG —
+        parity `infer_model.py:962-1059`."""
+        from PIL import Image
+
+        from udal_tpu.utils.visualize import visualize_boxes_and_labels
+
+        mean = np.asarray(self.config.mean_rgb, np.float32)
+        std = np.asarray(self.config.stddev_rgb, np.float32)
+        img = np.asarray(image, np.float32)
+        if img.max() <= 20.0:      # normalized input -> denormalize
+            img = img * std + mean
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        unc = np.mean(rel_al, axis=-1) if rel_al is not None else None
+        vis = visualize_boxes_and_labels(
+            img, np.asarray(boxes), np.asarray(classes).astype(int),
+            np.asarray(scores), uncertainties=unc,
+            min_score_thresh=self.min_score)
+        out_dir = os.path.join(self.save_dir, "visualizations")
+        os.makedirs(out_dir, exist_ok=True)
+        stem = os.path.splitext(os.path.basename(str(name)))[0] or "img"
+        Image.fromarray(vis).save(os.path.join(out_dir, stem + ".png"))
+
+    def _write_buckets(self):
+        """Top/bottom uncertainty image buckets — parity
+        `infer_model.py:476-552` (10% most/least uncertain images)."""
+        if not self._image_uncert:
+            return
+        ranked = sorted(self._image_uncert, key=lambda t: t[1])
+        k = max(1, int(round(len(ranked) * self.bucket_fraction)))
+        for tag, sel in (("bottom10", ranked[:k]), ("top10", ranked[-k:])):
+            d = os.path.join(self.save_dir, tag)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "images.txt"), "w") as f:
+                for name, u in sel:
+                    f.write(f"{name} {u}\n")
 
 
 def consistency_check(driver: ServingDriver, images: np.ndarray,

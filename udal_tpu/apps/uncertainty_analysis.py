@@ -87,7 +87,40 @@ class MainUncertAnalysis:
         write_threshold_metrics(
             os.path.join(self.out_dir, f"thr_metrics_{budget}_"
                          f"{self.fpr_tpr}.txt"), table)
+        self._write_panels(table, uncerts, combined, tps, ious)
         return {"opt_params": params, "metrics": table}
+
+    def _write_panels(self, table, uncerts, combined, tps, ious) -> None:
+        """Spider plot + per-IoU FD@CD heatmap + top-10 uncertain rows —
+        parity `uncertainty_analysis.py:734-1101`."""
+        from udal_tpu.apps.thresholding import DEFAULT_IOU_THRS, roc_metrics
+        from udal_tpu.utils.uncert_plots import metric_heatmap, spider_plot
+
+        plots = os.path.join(self.out_dir, "plots")
+        os.makedirs(plots, exist_ok=True)
+        spider_plot(table, os.path.join(plots, "spider.png"),
+                    title=f"uncertainty comparison ({self.thr_sel})")
+
+        methods = {**uncerts, "COMBO": combined}
+        mat = []
+        for name, u in methods.items():
+            row = []
+            for thr in DEFAULT_IOU_THRS:
+                correct = ((ious >= thr) * tps).astype(int)
+                r = roc_metrics(u, correct, self.fpr_tpr, self.fix_cd)
+                row.append((r[1] if r != 0 else 1.0) * 100)
+            mat.append(row)
+        metric_heatmap(np.asarray(mat),
+                       [f"IoU{t:.2f}" for t in DEFAULT_IOU_THRS],
+                       list(methods), os.path.join(plots, "fdcd_heatmap.png"),
+                       title="FD@CD (%) per IoU threshold")
+
+        # top-10 most uncertain rows after thresholding
+        order = np.argsort(-combined)[:10]
+        with open(os.path.join(self.out_dir, "top10_uncertain.txt"),
+                  "w") as f:
+            for idx in order:
+                f.write(repr(self.rows[int(idx)]) + "\n")
 
 
 def epistemic_vs_aleatoric(rows: List[Dict],
@@ -133,3 +166,70 @@ def epistemic_vs_aleatoric(rows: List[Dict],
     corr = float(np.corrcoef(ep, al)[0, 1]) if len(rows) > 1 else 0.0
     return {"cells": cells, "correlation": corr, "epistemic": ep,
             "aleatoric": al}
+
+
+def export_quadrant_crops(rows: List[Dict], image_loader,
+                          out_dir: str, n_cells: int = 3,
+                          per_cell: int = 5,
+                          epistemic_key: str = "uncalib_mcbox",
+                          aleatoric_key: str = "uncalib_albox"
+                          ) -> Dict[str, object]:
+    """Per-grid-cell detection crops + BRISQUE-style quality correlation.
+
+    Parity: `EpistemicVSAleatoric` crop/quality analysis
+    (`/root/reference/src/uncertainty_ep_vs_al.py:35-590`):
+    each (epistemic, aleatoric) grid cell gets up to `per_cell` box crops
+    saved under ``out_dir/cell_<i>_<j>/``, and the epistemic axis is
+    correlated with a no-reference quality score (MSCN-statistics proxy for
+    the brisque package's SVR).
+
+    Args:
+      image_loader: callable(image_name) -> RGB uint8 array (or None).
+    """
+    import os
+
+    from PIL import Image
+
+    from udal_tpu.utils.uncert_plots import brisque_like_score
+
+    res = epistemic_vs_aleatoric(rows, epistemic_key, aleatoric_key, n_cells)
+    ep, al = res["epistemic"], res["aleatoric"]
+
+    def norm(x):
+        rng = x.max() - x.min()
+        return (x - x.min()) / rng if rng > 0 else np.zeros_like(x)
+
+    ep_n, al_n = norm(ep), norm(al)
+    edges = np.linspace(0, 1, n_cells + 1)
+    cell_of = (np.minimum((ep_n * n_cells).astype(int), n_cells - 1),
+               np.minimum((al_n * n_cells).astype(int), n_cells - 1))
+
+    qualities, eps_used = [], []
+    counts = {}
+    for i in range(n_cells):
+        for j in range(n_cells):
+            idxs = np.where((cell_of[0] == i) & (cell_of[1] == j))[0]
+            cell_dir = os.path.join(out_dir, f"cell_{i}_{j}")
+            os.makedirs(cell_dir, exist_ok=True)
+            saved = 0
+            for idx in idxs[:per_cell]:
+                r = rows[int(idx)]
+                img = image_loader(r["image_name"])
+                if img is None:
+                    continue
+                y1, x1, y2, x2 = [int(max(v, 0)) for v in r["bbox"]]
+                crop = img[y1:y2 + 1, x1:x2 + 1]
+                if crop.size == 0:
+                    continue
+                Image.fromarray(crop).save(
+                    os.path.join(cell_dir, f"crop_{saved}.png"))
+                qualities.append(brisque_like_score(crop))
+                eps_used.append(float(ep[int(idx)]))
+                saved += 1
+            counts[(i, j)] = saved
+
+    corr = float(np.corrcoef(eps_used, qualities)[0, 1]) \
+        if len(qualities) > 2 else 0.0
+    res["crop_counts"] = counts
+    res["quality_epistemic_corr"] = corr
+    return res

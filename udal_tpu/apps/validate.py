@@ -216,6 +216,31 @@ class Validator:
                   "w") as f:
             for row in rows:
                 f.write(repr(row) + "\n")
+        self._write_uncert_plots(rows)
+
+    def _write_uncert_plots(self, rows):
+        """Aleatoric/ and mcdropout/ calibration panels — parity with the
+        reference's uncertainty-toolbox analysis (`validate_model.py:
+        737-794`, `utils_extra.py:378-573`)."""
+        from udal_tpu.utils.uncert_plots import regression_calibration_plot
+
+        for key, tag in (("uncalib_albox", "aleatoric"),
+                         ("uncalib_mcbox", "mcdropout")):
+            res, sig = [], []
+            for r in rows:
+                if key not in r:
+                    continue
+                res.extend(np.asarray(r["gt_bbox"]) - np.asarray(r["bbox"]))
+                sig.extend(r[key])
+            if len(res) < 8:
+                continue
+            d = os.path.join(self.save_dir, tag)
+            os.makedirs(d, exist_ok=True)
+            metrics = regression_calibration_plot(
+                np.asarray(res), np.asarray(sig),
+                os.path.join(d, "calibration.png"), title=tag)
+            with open(os.path.join(d, "metrics.txt"), "w") as f:
+                f.write(repr(metrics) + "\n")
 
     def _write_performance(self, rows, all_scores):
         if rows:
