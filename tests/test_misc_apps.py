@@ -194,3 +194,97 @@ def test_efficientdet_model_wrapper():
     out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     boxes, scores, classes, valid = out
     assert boxes.shape == (1, 100, 4)
+
+
+def _mini_kitti(tmp_path, n=4):
+    import cv2
+
+    img_dir = tmp_path / "image_2"
+    lbl_dir = tmp_path / "label_2"
+    img_dir.mkdir(exist_ok=True); lbl_dir.mkdir(exist_ok=True)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"),
+                    rng.randint(0, 255, (60, 90, 3), np.uint8))
+        with open(lbl_dir / f"{i:06d}.txt", "w") as f:
+            f.write("Car 0.0 0 0.0 10.0 20.0 60.0 50.0 0 0 0 0 0 0 0\n")
+    return str(img_dir), str(lbl_dir)
+
+
+def test_kitti_active_and_csd_creators(tmp_path):
+    """AL-subset / CSD-split / custom creator variants
+    (ref `kitti_tf_creator.py:84-320`)."""
+    from udal_tpu.data import tfrecord as tfr
+    from udal_tpu.data.dataloader import parse_detection_example
+    from udal_tpu.data.dataset_creators import (kitti_active_tfrecords,
+                                                kitti_csd_tfrecords,
+                                                kitti_custom_to_tfrecords)
+
+    img_dir, lbl_dir = _mini_kitti(tmp_path)
+    out = str(tmp_path / "tf")
+
+    n = kitti_active_tfrecords(img_dir, lbl_dir, out, [0, 2], 1)
+    assert n == 2
+    import os
+    assert os.path.exists(os.path.join(out, "_train_1.tfrecord"))
+
+    # pseudo labels with scores
+    pseudo = tmp_path / "pseudo"
+    pseudo.mkdir()
+    (pseudo / "000000.txt").write_text(
+        "Car 0.0 0 0.0 10.0 20.0 60.0 50.0 0 0 0 0 0 0 0 0.88\n")
+    n = kitti_active_tfrecords(img_dir, lbl_dir, out, [0], 2,
+                               pseudo=str(pseudo))
+    assert n == 1
+    rec = next(iter(tfr.iterate_tfrecord(
+        os.path.join(out, "_train_2.tfrecord"))))
+    ex = parse_detection_example(rec)
+    assert ex.pseudo_scores is not None
+    np.testing.assert_allclose(ex.pseudo_scores, [0.88], atol=1e-6)
+
+    n_lab, n_unl = kitti_csd_tfrecords(img_dir, lbl_dir, out, 2,
+                                       [0, 1, 2, 3], saving_name="_x")
+    assert (n_lab, n_unl) == (2, 2)
+    rec = next(iter(tfr.iterate_tfrecord(
+        os.path.join(out, "_train_unlabeled_x.tfrecord"))))
+    assert len(parse_detection_example(rec).classes) == 0  # boxes stripped
+
+    n_tr, n_val = kitti_custom_to_tfrecords(
+        img_dir, lbl_dir, str(tmp_path / "cust"), [0, 1], [2])
+    assert (n_tr, n_val) == (2, 1)
+
+
+def test_bdd_active_and_csd_creators(tmp_path):
+    import json
+
+    import cv2
+
+    from udal_tpu.data import tfrecord as tfr
+    from udal_tpu.data.dataloader import parse_detection_example
+    from udal_tpu.data.dataset_creators import (bdd_active_tfrecords,
+                                                bdd_csd_tfrecords)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    data = []
+    for i in range(4):
+        name = f"b{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.randint(0, 255, (50, 70, 3), np.uint8))
+        data.append({"name": name, "labels": [
+            {"category": "car",
+             "box2d": {"x1": 5.0, "y1": 6.0, "x2": 40.0, "y2": 30.0}}]})
+    jp = tmp_path / "labels.json"
+    jp.write_text(json.dumps(data))
+
+    out = str(tmp_path / "tf")
+    n = bdd_active_tfrecords(str(jp), str(img_dir), out, [1, 3], 0)
+    assert n == 2
+    n_lab, n_unl = bdd_csd_tfrecords(str(jp), str(img_dir), out, 1,
+                                     [0, 1, 2], saving_name="_y")
+    assert (n_lab, n_unl) == (1, 2)
+    import os
+    rec = next(iter(tfr.iterate_tfrecord(
+        os.path.join(out, "_train_unlabeled_y.tfrecord"))))
+    assert len(parse_detection_example(rec).classes) == 0

@@ -221,3 +221,133 @@ def coda_to_tfrecord(annotation_json: str, image_dir: str, output_path: str,
                                   ids, texts, source_id=str(img_id)))
             n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# Orchestrated variants (AL subsets / CSD splits / custom splits)
+# ---------------------------------------------------------------------------
+
+def _stems_at(image_dir: str, indices) -> List[str]:
+    """Positional image selection — the reference indexes
+    sorted(listdir(image_dir)) (`kitti_tf_creator.py:124,212`)."""
+    names = sorted(os.listdir(image_dir))
+    return [os.path.splitext(names[int(i)])[0] for i in indices]
+
+
+def kitti_active_tfrecords(image_dir: str, label_dir: str, output_path: str,
+                           train_indices, current_iteration: int,
+                           train: bool = True,
+                           pseudo: Optional[str] = None,
+                           label_map: Dict[int, str] = KITTI) -> int:
+    """AL-subset TFRecord writer — parity `kitti_tf_creator.py:171-233`:
+    writes ``<output_path>/_{train|val}_<iteration>.tfrecord`` from the
+    selected image indices; `pseudo` points at a pseudo-label directory
+    (per-detection scores become `image/object/pseudo_score`)."""
+    os.makedirs(output_path, exist_ok=True)
+    tag = "_train_" if train else "_val_"
+    out = os.path.join(output_path,
+                       f"{tag}{current_iteration}.tfrecord")
+    return kitti_to_tfrecord(image_dir, pseudo or label_dir, out,
+                             indices=_stems_at(image_dir, train_indices),
+                             label_map=label_map,
+                             with_pseudo_scores=pseudo is not None)
+
+
+def kitti_csd_tfrecords(image_dir: str, label_dir: str, output_path: str,
+                        num_labeled: int, train_indices,
+                        saving_name: str = "",
+                        label_map: Dict[int, str] = KITTI
+                        ) -> Tuple[int, int]:
+    """CSD labeled/unlabeled split — parity `kitti_tf_creator.py:84-170`:
+    the first `num_labeled` selected images keep annotations
+    (``_train_labeled<name>.tfrecord``); the rest are written without
+    boxes (``_train_unlabeled<name>.tfrecord``)."""
+    os.makedirs(output_path, exist_ok=True)
+    stems = _stems_at(image_dir, train_indices)
+    n_lab = kitti_to_tfrecord(
+        image_dir, label_dir,
+        os.path.join(output_path, f"_train_labeled{saving_name}.tfrecord"),
+        indices=stems[:num_labeled], label_map=label_map)
+    n_unl = kitti_to_tfrecord(
+        image_dir, label_dir,
+        os.path.join(output_path, f"_train_unlabeled{saving_name}.tfrecord"),
+        indices=stems[num_labeled:], label_map=label_map,
+        drop_annotations=True)
+    return n_lab, n_unl
+
+
+def kitti_custom_to_tfrecords(image_dir: str, label_dir: str,
+                              output_path: str,
+                              train_indices=None,
+                              validation_indices=None,
+                              label_map: Dict[int, str] = KITTI
+                              ) -> Tuple[int, int]:
+    """Custom train/val index split — parity `kitti_tf_creator.py:233-320`:
+    writes ``<output_path>_train.tfrecord`` / ``<output_path>_val.tfrecord``."""
+    n_train = n_val = 0
+    if train_indices is not None:
+        n_train = kitti_to_tfrecord(
+            image_dir, label_dir, output_path + "_train.tfrecord",
+            indices=_stems_at(image_dir, train_indices),
+            label_map=label_map)
+    if validation_indices is not None:
+        n_val = kitti_to_tfrecord(
+            image_dir, label_dir, output_path + "_val.tfrecord",
+            indices=_stems_at(image_dir, validation_indices),
+            label_map=label_map)
+    return n_train, n_val
+
+
+def bdd_active_tfrecords(json_path: str, image_dir: str, output_path: str,
+                         train_indices, current_iteration: int,
+                         train: bool = True,
+                         pseudo_json: Optional[str] = None,
+                         label_map: Dict[int, str] = BDD) -> int:
+    """BDD AL-subset writer — parity `bdd_tf_creator.py:331-445`."""
+    os.makedirs(output_path, exist_ok=True)
+    tag = "_train_" if train else "_val_"
+    out = os.path.join(output_path,
+                       f"{tag}{current_iteration}.tfrecord")
+    with open(json_path) as f:
+        names = sorted(e["name"] for e in json.load(f))
+    stems = [os.path.splitext(names[int(i)])[0] for i in train_indices]
+    return bdd_to_tfrecord(pseudo_json or json_path, image_dir, out,
+                           indices=stems, label_map=label_map,
+                           with_pseudo_scores=pseudo_json is not None)
+
+
+def bdd_csd_tfrecords(json_path: str, image_dir: str, output_path: str,
+                      num_labeled: int, train_indices,
+                      saving_name: str = "",
+                      label_map: Dict[int, str] = BDD) -> Tuple[int, int]:
+    """BDD CSD labeled/unlabeled split — parity `bdd_tf_creator.py:191-330`.
+
+    Unlabeled entries keep their images but drop every annotation (the
+    pipeline pads GT to zeros, matching the reference's empty-feature
+    examples)."""
+    os.makedirs(output_path, exist_ok=True)
+    with open(json_path) as f:
+        data = json.load(f)
+    by_name = sorted(data, key=lambda e: e["name"])
+    chosen = [by_name[int(i)] for i in train_indices]
+    labeled = chosen[:num_labeled]
+    unlabeled = []
+    for e in chosen[num_labeled:]:
+        e = dict(e)
+        e["labels"] = []
+        unlabeled.append(e)
+    tmp_lab = os.path.join(output_path, f"_lab{saving_name}.json")
+    tmp_unl = os.path.join(output_path, f"_unl{saving_name}.json")
+    with open(tmp_lab, "w") as f:
+        json.dump(labeled, f)
+    with open(tmp_unl, "w") as f:
+        json.dump(unlabeled, f)
+    n_lab = bdd_to_tfrecord(
+        tmp_lab, image_dir,
+        os.path.join(output_path, f"_train_labeled{saving_name}.tfrecord"),
+        label_map=label_map)
+    n_unl = bdd_to_tfrecord(
+        tmp_unl, image_dir,
+        os.path.join(output_path, f"_train_unlabeled{saving_name}.tfrecord"),
+        label_map=label_map)
+    return n_lab, n_unl
