@@ -288,3 +288,60 @@ def test_bdd_active_and_csd_creators(tmp_path):
     rec = next(iter(tfr.iterate_tfrecord(
         os.path.join(out, "_train_unlabeled_y.tfrecord"))))
     assert len(parse_detection_example(rec).classes) == 0
+
+
+def test_similarity_pipeline_and_eval_scraping(tmp_path):
+    """AL-eval breadth: config rewriting, metric scraping, Similarity
+    ranking + Kendall tau (ref `active_learning_eval.py:105-189,586-944`)."""
+    import json
+    import os
+
+    import yaml
+
+    from udal_tpu.apps.al_eval import (Similarity, extract_eval_metrics,
+                                       update_eval_config)
+
+    # eval-config rewriting
+    cfg = tmp_path / "eval.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "model_dir": "old", "eval_samples": 10,
+        "val_file_pattern": "data/_val.tfrecord"}))
+    update_eval_config(str(cfg), "newdir", update_name=3, eval_samples=7)
+    data = yaml.safe_load(cfg.read_text())
+    assert data["model_dir"] == "newdir"
+    assert data["val_file_pattern"].endswith("_val_set3.tfrecord")
+    assert data["eval_samples"] == 7
+
+    # metric scraping from the JSONL stream
+    rng = np.random.RandomState(0)
+    method_dirs = {}
+    ap_truth = {"m0": 0.4, "m1": 0.2, "m2": 0.6}
+    for name, ap in ap_truth.items():
+        d = tmp_path / name / "logs"
+        os.makedirs(d)
+        with open(d / "metrics.jsonl", "w") as f:
+            f.write(json.dumps({"step": 1, "AP": ap / 2}) + "\n")
+            f.write(json.dumps({"step": 2, "AP": ap, "val_loss": 1.0}) + "\n")
+        method_dirs[name] = str(tmp_path / name)
+    assert extract_eval_metrics(str(tmp_path / "m0" / "logs"))["AP"] == 0.4
+
+    # similarity vs AP ranking: method sets drawn closer/farther from ref
+    def make_samples(shift):
+        out = []
+        for _ in range(6):
+            img = rng.randint(0, 255, (40, 60, 3), np.uint8)
+            img = np.clip(img.astype(int) + shift, 0, 255).astype(np.uint8)
+            out.append((img, np.asarray([[5.0, 5.0, 30.0, 40.0]]),
+                        np.asarray([1])))
+        return out
+
+    ref = make_samples(0)
+    samples = {"m0": make_samples(40), "m1": make_samples(120),
+               "m2": make_samples(5)}
+    sim = Similarity("k", method_dirs)
+    res = sim.run(samples, ref)
+    assert res["ranking"][0] == "m2"                  # highest AP first
+    assert set(res["similarities"]) == {"m0", "m1", "m2"}
+    # closer pixel statistics => higher similarity
+    assert res["similarities"]["m2"] > res["similarities"]["m1"]
+    assert np.isfinite(res["kendall_tau"])

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import os
+
 import numpy as np
 from scipy.fft import dctn
 from scipy.stats import kendalltau
@@ -103,3 +105,133 @@ def rank_correlation(similarities: Dict[str, float],
     a = [ap_scores[m] for m in methods]
     tau, p = kendalltau(s, a)
     return float(tau), float(p)
+
+
+# ---------------------------------------------------------------------------
+# Eval-config rewriting, metric scraping, Similarity pipeline
+# ---------------------------------------------------------------------------
+
+def update_eval_config(yaml_path: str, new_model_dir: str,
+                       update_name=None, eval_samples: int = 0) -> None:
+    """Rewrite an eval yaml for the next ranked model — parity
+    `active_learning_eval.py:105-133`: swaps model_dir and optionally points
+    val_file_pattern at a per-split ``_val_set<NAME>.tfrecord``."""
+    import yaml
+
+    with open(yaml_path) as f:
+        data = yaml.safe_load(f)
+    data["model_dir"] = new_model_dir
+    if update_name is not None:
+        data["val_file_pattern"] = (
+            data["val_file_pattern"].split("/_val")[0]
+            + f"/_val_set{update_name}.tfrecord")
+        data["eval_samples"] = int(eval_samples)
+    with open(yaml_path, "w") as f:
+        yaml.safe_dump(data, f, default_flow_style=False)
+
+
+def extract_eval_metrics(log_dir: str) -> Dict[str, float]:
+    """Scrape AP / AP50 / AP75 / val_loss from a training log directory.
+
+    Reads the JSONL metrics stream (this framework's primary artifact) and,
+    when TensorBoard event files are present and TF importable, the event
+    tensors as well — parity `extract_eval_metrics_tensorboard`
+    (`active_learning_eval.py:136-178`).
+    """
+    import glob
+    import json
+    import os
+
+    out: Dict[str, float] = {}
+    jsonl = os.path.join(log_dir, "metrics.jsonl")
+    if os.path.exists(jsonl):
+        with open(jsonl) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                for k in ("AP", "AP50", "AP75", "val_loss", "loss"):
+                    if k in rec:
+                        out[k] = float(rec[k])
+    if glob.glob(os.path.join(log_dir, "events.out.tfevents*")):
+        try:
+            import tensorflow as tf
+            from tensorboard.backend.event_processing.event_accumulator \
+                import EventAccumulator
+
+            acc = EventAccumulator(log_dir)
+            acc.Reload()
+            for tag in acc.Tags().get("tensors", []):
+                if tag in ("AP", "AP50", "AP75", "val_loss"):
+                    out[tag] = float(
+                        tf.make_ndarray(acc.Tensors(tag)[-1][2]))
+        except Exception:  # noqa: BLE001 - TB scraping is best-effort
+            pass
+    return out
+
+
+# eval config per dataset shorthand (`active_learning_eval.py:586-944` —
+# the Similarity variants for KITTI / BDD / kCODA / bCODA map onto the
+# shipped configs/eval files)
+EVAL_CONFIG_BY_DATASET = {
+    "k": "configs/eval/eval_k.yaml", "KITTI": "configs/eval/eval_k.yaml",
+    "ks": "configs/eval/eval_ks.yaml",
+    "kc": "configs/eval/eval_kc.yaml",
+    "kCODA": "configs/eval/eval_cks.yaml",
+    "cks": "configs/eval/eval_cks.yaml",
+    "b": "configs/eval/eval_b.yaml", "BDD": "configs/eval/eval_b.yaml",
+    "bs": "configs/eval/eval_bs.yaml",
+    "bc": "configs/eval/eval_bc.yaml",
+    "bCODA": "configs/eval/eval_cbs.yaml",
+    "cbs": "configs/eval/eval_cbs.yaml",
+}
+
+
+class Similarity:
+    """Pre-estimate AL-method quality from dataset similarity and rank.
+
+    Redesign of the reference `Similarity` class
+    (`active_learning_eval.py:586-944`): instead of hard-coded model-path
+    lists, methods are given explicitly as {name: model_dir}; per-method
+    AP comes from scraped training logs (or an injected eval callable), the
+    per-method selected sets are compared to the reference set with the
+    crop-statistics JSD similarity, and the two rankings are correlated
+    with Kendall's tau.
+    """
+
+    def __init__(self, dataset: str, method_dirs: Dict[str, str],
+                 performance: bool = True, n_iter: int = 1,
+                 eval_fn=None):
+        self.dataset = dataset
+        self.method_dirs = dict(method_dirs)
+        self.performance = performance
+        self.n_iter = n_iter
+        self.eval_fn = eval_fn
+        self.eval_config = EVAL_CONFIG_BY_DATASET.get(dataset)
+
+    def ap_by_method(self) -> Dict[str, float]:
+        out = {}
+        for name, mdir in self.method_dirs.items():
+            if self.eval_fn is not None:
+                out[name] = float(self.eval_fn(mdir))
+                continue
+            metrics = extract_eval_metrics(os.path.join(mdir, "logs"))
+            if "AP" in metrics:
+                out[name] = metrics["AP"]
+        return out
+
+    def run(self, samples_by_method: Dict[str, Sequence],
+            reference_samples: Sequence) -> Dict[str, object]:
+        """samples/reference: (image, boxes, classes) triples per method."""
+        ref_stats = collect_metrics(reference_samples)
+        sims = {name: calculate_set_similarity(
+            collect_metrics(s), ref_stats)
+            for name, s in samples_by_method.items()}
+        aps = self.ap_by_method()
+        shared = sorted(set(sims) & set(aps))
+        ranking = sorted(shared, key=lambda m: -aps[m])
+        tau, p = rank_correlation(sims, aps) if len(shared) >= 2 \
+            else (float("nan"), float("nan"))
+        return {"similarities": sims, "ap": aps, "ranking": ranking,
+                "kendall_tau": tau, "p_value": p}
