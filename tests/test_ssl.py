@@ -161,3 +161,34 @@ def test_rcc_collage():
     img, boxes, classes = ssl_utils.rcc_collage(bg, [(crop, 2)], rng=rng)
     assert img.shape == bg.shape
     assert boxes.shape == (1, 4) and classes[0] == 2
+
+
+def test_pseudo_vs_gt_analysis_md_fd():
+    """Per-class MD/FD pseudo-label analysis (ref parent.py:1567-1812)."""
+    import numpy as np
+
+    from udal_tpu.apps.ssl_utils import pseudo_vs_gt_analysis
+
+    gt = [(np.asarray([[0, 0, 10, 10], [20, 20, 40, 40]], float),
+           np.asarray([1, 2]))]
+    # pseudo: matches GT#0 with right class, misses GT#1, adds a false det
+    pseudo = [(np.asarray([[1, 1, 11, 11], [60, 60, 80, 80]], float),
+               np.asarray([1, 1]))]
+    res = pseudo_vs_gt_analysis(gt, pseudo)
+    assert res["per_class"][1]["matched"] == 1
+    assert res["per_class"][1]["acc"] == 1.0
+    assert res["per_class"][2]["md_rate"] == 1.0
+    assert res["md_rate"] == 0.5          # 1 of 2 GT missed
+    assert res["fd_rate"] == 0.5          # 1 of 2 pseudo false
+
+
+def test_augment_collage_crops():
+    import numpy as np
+
+    from udal_tpu.apps.ssl_utils import augment_collage_crops
+
+    rng = np.random.RandomState(0)
+    crops = [(rng.randint(0, 255, (20, 30, 3), np.uint8), 3)]
+    out = augment_collage_crops(crops, rng)
+    assert len(out) == 1 and out[0][1] == 3
+    assert out[0][0].shape == (20, 30, 3) and out[0][0].dtype == np.uint8

@@ -232,3 +232,116 @@ def rcc_collage(background: np.ndarray,
         boxes.append([y, x, y + ch, x + cw])
         classes.append(cls)
     return img, np.asarray(boxes, np.float32), np.asarray(classes, np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-label vs ground-truth analysis (MD/FD per class)
+# ---------------------------------------------------------------------------
+
+def pseudo_vs_gt_analysis(gt_per_image: Sequence[Tuple[np.ndarray, np.ndarray]],
+                          pseudo_per_image: Sequence[Tuple[np.ndarray,
+                                                           np.ndarray]],
+                          iou_thr: float = 0.5) -> Dict[str, object]:
+    """Per-class pseudo-label quality: missing/false detections, mIoU, acc.
+
+    Parity: the `Parent_SSL` matched-detection analyses
+    (`/root/reference/src/ssl_utils/parent.py:1567-1812`): pseudo boxes are
+    greedily matched to GT by IoU; per class this reports
+      md_rate  — GT without a matching pseudo box (missing detections),
+      fd_rate  — pseudo boxes without a matching GT (false detections),
+      miou     — mean IoU of matches,
+      acc      — class agreement of matches,
+    plus matched/GT/pseudo counts.
+
+    Args:
+      gt_per_image / pseudo_per_image: per image (boxes [N,4] y1x1y2x2,
+        classes [N]) pairs.
+    """
+    from udal_tpu.ops.boxes import pairwise_iou
+
+    stats: Dict[int, Dict[str, float]] = {}
+
+    def bucket(c):
+        return stats.setdefault(int(c), {
+            "gt": 0, "pseudo": 0, "matched": 0, "md": 0, "fd": 0,
+            "iou_sum": 0.0, "acc_sum": 0.0})
+
+    for (g_boxes, g_cls), (p_boxes, p_cls) in zip(gt_per_image,
+                                                  pseudo_per_image):
+        g_boxes = np.asarray(g_boxes, float).reshape(-1, 4)
+        p_boxes = np.asarray(p_boxes, float).reshape(-1, 4)
+        g_cls = np.asarray(g_cls).astype(int)
+        p_cls = np.asarray(p_cls).astype(int)
+        for c in g_cls:
+            bucket(c)["gt"] += 1
+        for c in p_cls:
+            bucket(c)["pseudo"] += 1
+        if len(g_boxes) == 0 or len(p_boxes) == 0:
+            for c in g_cls:
+                bucket(c)["md"] += 1
+            for c in p_cls:
+                bucket(c)["fd"] += 1
+            continue
+        ious = np.asarray(pairwise_iou(p_boxes, g_boxes))
+        matched_gt, matched_p = set(), set()
+        order = np.dstack(np.unravel_index(
+            np.argsort(-ious, axis=None), ious.shape))[0]
+        for (pi, gi) in order:
+            if ious[pi, gi] < iou_thr:
+                break
+            if pi in matched_p or gi in matched_gt:
+                continue
+            matched_p.add(int(pi))
+            matched_gt.add(int(gi))
+            b = bucket(g_cls[gi])
+            b["matched"] += 1
+            b["iou_sum"] += float(ious[pi, gi])
+            b["acc_sum"] += float(p_cls[pi] == g_cls[gi])
+        for gi, c in enumerate(g_cls):
+            if gi not in matched_gt:
+                bucket(c)["md"] += 1
+        for pi, c in enumerate(p_cls):
+            if pi not in matched_p:
+                bucket(c)["fd"] += 1
+
+    out: Dict[str, object] = {"per_class": {}}
+    total_md = total_fd = total_gt = total_p = 0
+    for c, b in sorted(stats.items()):
+        md_rate = b["md"] / b["gt"] if b["gt"] else float("nan")
+        fd_rate = b["fd"] / b["pseudo"] if b["pseudo"] else float("nan")
+        out["per_class"][c] = {
+            "md_rate": md_rate, "fd_rate": fd_rate,
+            "miou": b["iou_sum"] / b["matched"] if b["matched"] else
+            float("nan"),
+            "acc": b["acc_sum"] / b["matched"] if b["matched"] else
+            float("nan"),
+            "gt": b["gt"], "pseudo": b["pseudo"], "matched": b["matched"],
+        }
+        total_md += b["md"]
+        total_fd += b["fd"]
+        total_gt += b["gt"]
+        total_p += b["pseudo"]
+    out["md_rate"] = total_md / total_gt if total_gt else float("nan")
+    out["fd_rate"] = total_fd / total_p if total_p else float("nan")
+    return out
+
+
+def augment_collage_crops(crops: Sequence[Tuple[np.ndarray, int]],
+                          rng: Optional[np.random.RandomState] = None,
+                          flip_prob: float = 0.5,
+                          jitter: float = 0.2
+                          ) -> List[Tuple[np.ndarray, int]]:
+    """Per-crop augmentation for collage synthesis — flips + photometric
+    jitter (`parent.py:317-885` collage scaling/augmentation)."""
+    rng = rng or np.random.RandomState(0)
+    out = []
+    for crop, cls in crops:
+        c = crop
+        if rng.rand() < flip_prob:
+            c = c[:, ::-1]
+        gain = 1.0 + rng.uniform(-jitter, jitter)
+        bias = rng.uniform(-jitter, jitter) * 64
+        c = np.clip(c.astype(np.float32) * gain + bias, 0,
+                    255).astype(np.uint8)
+        out.append((c, cls))
+    return out
