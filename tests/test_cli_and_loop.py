@@ -6,6 +6,9 @@ import pytest
 from udal_tpu.data.synthetic import write_synthetic_dataset
 
 
+pytestmark = pytest.mark.slow  # heavy model tier: compile-bound, run nightly
+
+
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
     d = tmp_path_factory.mktemp("cli_data")

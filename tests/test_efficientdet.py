@@ -7,6 +7,9 @@ from udal_tpu.config import get_detection_config
 from udal_tpu.models.efficientdet import EfficientDetNet, mc_forward
 
 
+pytestmark = pytest.mark.slow  # heavy model tier: compile-bound, run nightly
+
+
 def _tiny_config(**overrides):
     cfg = get_detection_config("efficientdet-d0")
     cfg.image_size = 128

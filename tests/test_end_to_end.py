@@ -28,6 +28,9 @@ from udal_tpu.utils.checkpoint import restore_checkpoint, swap_in_ema
 from udal_tpu.train.train_lib import create_train_state
 
 
+pytestmark = pytest.mark.slow  # heavy model tier: compile-bound, run nightly
+
+
 @pytest.mark.slow
 def test_full_uncertainty_pipeline(tmp_path):
     cfg = get_detection_config("efficientdet-d0")

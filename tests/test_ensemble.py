@@ -8,6 +8,9 @@ from udal_tpu.models.ensemble import init_ensemble, ensemble_forward
 from udal_tpu.ops.postprocess import postprocess_global
 
 
+pytestmark = pytest.mark.slow  # heavy model tier: compile-bound, run nightly
+
+
 def test_ensemble_forward_and_fusion():
     cfg = get_detection_config("efficientdet-d0")
     cfg.image_size = 64

@@ -15,6 +15,9 @@ import pytest
 from tests.reference_util import REF_SRC
 
 
+pytestmark = pytest.mark.slow  # heavy model tier: compile-bound, run nightly
+
+
 def _stub_modules():
     def stub(name, is_pkg=False):
         if name in sys.modules:

@@ -9,6 +9,9 @@ from udal_tpu.utils.checkpoint import (latest_checkpoint, restore_checkpoint,
                                        save_checkpoint, swap_in_ema)
 
 
+pytestmark = pytest.mark.slow  # heavy model tier: compile-bound, run nightly
+
+
 def _driver(**overrides):
     ov = {"image_size": 128, "num_classes": 8}
     ov.update(overrides)

@@ -10,6 +10,9 @@ from udal_tpu.train.train_lib import (create_train_state, eval_step,
                                       make_jitted_train_step)
 
 
+pytestmark = pytest.mark.slow  # heavy model tier: compile-bound, run nightly
+
+
 def _setup(batch=2, **overrides):
     cfg = get_detection_config("efficientdet-d0")
     cfg.image_size = 64
@@ -108,3 +111,29 @@ def test_train_step_csd():
     state, vals = step_fn(state, images, labels, jax.random.PRNGKey(1))
     assert np.isfinite(float(vals["loss"]))
     assert "unsup_cls_loss" in vals and "unsup_box_loss" in vals
+
+
+def test_grouped_batch_stats_matches_reference_groups():
+    """Grouped BN moments (≤group_size replicas) — the reference's
+    TpuBatchNormalization semantics (`utils.py:186-227`) via shard_map."""
+    import jax
+    import numpy as np
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from udal_tpu.parallel.mesh import grouped_batch_stats, make_mesh
+
+    mesh = make_mesh(n_data=8)
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 4, 3).astype(np.float32)   # 2 samples per device
+    mean, var = grouped_batch_stats(x, mesh, group_size=4)
+    mean, var = np.asarray(mean), np.asarray(var)
+    assert mean.shape == (8, 3)
+    # devices 0-3 share group 0 (first 8 samples), 4-7 group 1
+    g0 = x[:8].reshape(-1, 3)
+    np.testing.assert_allclose(mean[0], g0.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(mean[3], mean[0], rtol=1e-6)
+    np.testing.assert_allclose(var[0], g0.var(0), rtol=1e-4, atol=1e-5)
+    g1 = x[8:].reshape(-1, 3)
+    np.testing.assert_allclose(mean[4], g1.mean(0), rtol=1e-5)
+    assert not np.allclose(mean[0], mean[4])

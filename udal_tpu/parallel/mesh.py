@@ -66,3 +66,92 @@ def cross_replica_mean_groups(n_devices: int, group_size: int = 32):
     num_groups = max(1, n_devices // min(group_size, n_devices))
     per = n_devices // num_groups
     return [list(range(g * per, (g + 1) * per)) for g in range(num_groups)]
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> dict:
+    """Multi-host (multi-slice / DCN) runtime initialization.
+
+    The reference resolves TPU pods through `TPUClusterResolver` + gRPC
+    (`train_flags.py:60-78,236-241`); the JAX-native equivalent is
+    `jax.distributed.initialize`, after which `jax.devices()` spans every
+    host and the same `make_mesh` + GSPMD path scales across DCN with no
+    code changes (collectives ride ICI within a slice and DCN across).
+    On Cloud TPU the arguments are auto-detected from the metadata server;
+    pass them explicitly elsewhere. Safe to call when already initialized.
+
+    Returns a summary dict (process index/count, local/global devices).
+    """
+    if jax.process_count() == 1 and (num_processes or 1) > 1 or \
+            coordinator_address is not None:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except RuntimeError as e:   # already initialized
+            if "already" not in str(e).lower():
+                raise
+    elif coordinator_address is None and num_processes is None:
+        try:
+            # Cloud TPU auto-detection; a no-op single-process fallback
+            jax.distributed.initialize()
+        except Exception:  # noqa: BLE001 - not in a multi-host environment
+            pass
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def make_multihost_mesh(n_model: int = 1,
+                        ici_axis: str = "data") -> Mesh:
+    """Mesh over every global device (all hosts). The data axis spans
+    hosts — per-host input sharding comes from InputReader's
+    shard_id/num_shards (jax.process_index/count defaults)."""
+    return make_mesh(n_model=n_model)
+
+
+def grouped_batch_stats(x, mesh: Mesh, group_size: int = 32):
+    """Per-group batch moments over the 'data' axis — TpuBatchNormalization
+    semantics (`utils.py:186-227`: moments aggregated over ≤32-core groups
+    instead of globally).
+
+    Args:
+      x: [B, ..., C] batch (B divisible by the data-axis size).
+      mesh: ('data', 'model') mesh.
+      group_size: max replicas per aggregation group.
+
+    Returns (mean, var), each [n_data, C] — row d holds the moments of the
+    group that device d belongs to (broadcastable back into a shard_map'd
+    normalization).
+    """
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    n_data = mesh.shape["data"]
+    groups = cross_replica_mean_groups(n_data, group_size)
+    # static group-membership matrix: row d -> averaging weights over devices
+    member = np.zeros((n_data, n_data), np.float32)
+    for g in groups:
+        for d in g:
+            member[d, list(g)] = 1.0 / len(g)
+
+    def stats(xs):
+        red = tuple(range(xs.ndim - 1))
+        m = jnp.mean(xs, axis=red)
+        m2 = jnp.mean(jnp.square(xs), axis=red)
+        # group reduction = all_gather + static membership row (shard_map
+        # has no pmean(axis_index_groups) yet)
+        m_all = jax.lax.all_gather(m, "data")        # [n_data, C]
+        m2_all = jax.lax.all_gather(m2, "data")
+        row = jnp.asarray(member)[jax.lax.axis_index("data")]
+        m = row @ m_all
+        m2 = row @ m2_all
+        return m[None], (m2 - jnp.square(m))[None]
+
+    return shard_map(stats, mesh=mesh,
+                     in_specs=P("data"),
+                     out_specs=(P("data"), P("data")))(x)
