@@ -192,3 +192,44 @@ def test_augment_collage_crops():
     out = augment_collage_crops(crops, rng)
     assert len(out) == 1 and out[0][1] == 3
     assert out[0][0].shape == (20, 30, 3) and out[0][0].dtype == np.uint8
+
+
+def test_stac_training_crash_resume(tmp_path):
+    """STAC relaunches training until the done-probe passes — parity with
+    the reference's retry-until-ckpt loops (`SSL_stac.py:673-708`)."""
+    import numpy as np
+
+    from udal_tpu.apps.ssl import STAC
+
+    calls = []
+    done_after = {"teacher": 2, "student": 1}   # teacher crashes once
+
+    def train_fn(stage, pseudo_path, round_idx):
+        calls.append(stage)
+
+    def train_done(stage, round_idx):
+        return calls.count(stage) >= done_after[stage]
+
+    rng = np.random.RandomState(0)
+
+    def infer_fn(r):
+        return [{"image_name": "a.png", "det_score": 0.9,
+                 "bbox": [1.0, 1.0, 20.0, 20.0], "class": 1.0}]
+
+    def images_fn(names):
+        return {n: rng.randint(0, 255, (32, 48, 3), np.uint8)
+                for n in names}
+
+    stac = STAC(str(tmp_path), train_fn=train_fn, infer_fn=infer_fn,
+                images_fn=images_fn, train_done_fn=train_done)
+    stac.run()
+    assert calls.count("teacher") == 2          # retried once, then done
+    assert calls.count("student") == 1
+
+    # a probe that never passes raises after max retries
+    stac2 = STAC(str(tmp_path / "x"), train_fn=train_fn, infer_fn=infer_fn,
+                 images_fn=images_fn,
+                 train_done_fn=lambda *a: False, max_train_retries=2)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        stac2.run()

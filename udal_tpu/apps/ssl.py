@@ -172,7 +172,9 @@ class STAC:
                  images_fn: Optional[Callable] = None,
                  opt_thrs: Optional[np.ndarray] = None,
                  opt_params: Optional[Sequence[float]] = None,
-                 selftrain_rounds: int = 0):
+                 selftrain_rounds: int = 0,
+                 train_done_fn: Optional[Callable] = None,
+                 max_train_retries: int = 3):
         self.work_dir = work_dir
         self.tau = tau
         self.strategy = selection_strategy
@@ -184,6 +186,10 @@ class STAC:
         self.opt_thrs = opt_thrs
         self.opt_params = opt_params
         self.selftrain_rounds = selftrain_rounds
+        # crash-resume probe — the reference relaunches training until the
+        # final checkpoint exists (`SSL_stac.py:673-708,786-793`)
+        self.train_done_fn = train_done_fn
+        self.max_train_retries = max_train_retries
         os.makedirs(work_dir, exist_ok=True)
 
     def _pseudo_round(self, round_idx: int) -> str:
@@ -199,13 +205,24 @@ class STAC:
             scores if self.activate_pseudoscore else None)
         return path
 
+    def _train(self, **kw) -> None:
+        """Train with retry-until-checkpoint crash resume."""
+        for _ in range(self.max_train_retries):
+            self.train_fn(**kw)
+            if self.train_done_fn is None or \
+                    self.train_done_fn(kw["stage"], kw["round_idx"]):
+                return
+        raise RuntimeError(
+            f"training never produced a checkpoint for {kw!r} after "
+            f"{self.max_train_retries} attempts")
+
     def run(self) -> List[str]:
         artifacts = []
-        self.train_fn(stage="teacher", pseudo_path=None, round_idx=0)
+        self._train(stage="teacher", pseudo_path=None, round_idx=0)
         for r in range(1 + self.selftrain_rounds):
             pseudo = self._pseudo_round(r)
             artifacts.append(pseudo)
-            self.train_fn(stage="student", pseudo_path=pseudo, round_idx=r)
+            self._train(stage="student", pseudo_path=pseudo, round_idx=r)
         return artifacts
 
 
