@@ -140,3 +140,33 @@ def test_video_inference_mode(tmp_path):
     assert n == 2
     assert os.path.exists(out_video) and os.path.getsize(out_video) > 0
     assert len(os.listdir(frames_dir)) == 2
+
+
+def test_int8_weight_quantization_roundtrip():
+    """INT8 post-training weight quantization (TFLite-INT8 analogue,
+    ref `infer_lib.py:543-596`): quantized serving matches f32 detections
+    within tolerance."""
+    from udal_tpu.apps.serving import (ServingDriver, dequantize_weights,
+                                       quantize_weights_int8)
+
+    d = _driver(loss_attenuation=True)
+    q, scales = quantize_weights_int8(d.variables)
+    deq = dequantize_weights(q, scales)
+    d2 = ServingDriver(d.config, deq, batch_size=2)
+
+    imgs = np.random.RandomState(0).randint(0, 255, (2, 96, 160, 3),
+                                            np.uint8)
+    det_f = d.serve_detections(imgs)
+    det_q = d2.serve_detections(imgs)
+    # scores shift slightly under int8 weights; boxes of confident
+    # detections stay close
+    sf = np.asarray(det_f.scores[0])
+    sq = np.asarray(det_q.scores[0])
+    assert np.abs(sf[:10] - sq[:10]).max() < 0.2
+    # kernels really are int8
+    import jax
+
+    leaves = jax.tree_util.tree_flatten_with_path(q)[0]
+    kinds = {np.asarray(l).dtype for p, l in leaves
+             if (p[-1].key if hasattr(p[-1], "key") else "") == "kernel"}
+    assert np.dtype(np.int8) in kinds

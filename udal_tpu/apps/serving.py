@@ -217,3 +217,61 @@ def load_exported(path: str):
                              jax.random.key_data(key))
 
     return call
+
+
+# ---------------------------------------------------------------------------
+# Post-training weight quantization (TFLite-INT8 analogue)
+# ---------------------------------------------------------------------------
+
+def quantize_weights_int8(variables: Any) -> Tuple[Any, Any]:
+    """Per-channel symmetric INT8 quantization of conv/dense kernels.
+
+    TPU-native analogue of the reference's TFLite INT8 post-training
+    quantization export (`/root/reference/src/infer_lib.py:543-596`):
+    kernels are stored int8 with per-output-channel scales; biases, BN
+    parameters and statistics stay float. Use :func:`dequantize_weights`
+    (or ``ServingDriver`` with ``quantized=(q, scales)``) to serve.
+
+    Returns (quantized_variables, scales_tree) — same tree structure, with
+    kernel leaves int8 and scale leaves [C_out] float32 (non-kernel leaves
+    have scale None).
+    """
+    import jax
+
+    def quant(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        arr = np.asarray(leaf)
+        if name != "kernel" or arr.ndim < 2:
+            return leaf, None
+        axes = tuple(range(arr.ndim - 1))
+        amax = np.maximum(np.abs(arr).max(axis=axes), 1e-12)
+        scale = (amax / 127.0).astype(np.float32)
+        q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
+        return q, scale
+
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(variables)
+    paths_leaves, treedef = leaves_with_paths
+    qs, scales = [], []
+    for path, leaf in paths_leaves:
+        q, s = quant(path, leaf)
+        qs.append(q)
+        scales.append(s)
+    return (jax.tree_util.tree_unflatten(treedef, qs),
+            jax.tree_util.tree_unflatten(
+                treedef, [s if s is not None else () for s in scales]))
+
+
+def dequantize_weights(quantized: Any, scales: Any, dtype=None) -> Any:
+    """Inverse of :func:`quantize_weights_int8` (runs inside jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    def deq(q, s):
+        if isinstance(s, tuple) and s == ():
+            return q
+        x = q.astype(jnp.float32) * jnp.asarray(s)
+        return x.astype(dtype) if dtype is not None else x
+
+    return jax.tree_util.tree_map(
+        deq, quantized, scales,
+        is_leaf=lambda x: isinstance(x, tuple) and x == ())
