@@ -93,6 +93,64 @@ def cmd_train(args) -> None:
                        val_iter_fn=val_iter_fn, val_steps=val_steps)
 
 
+def cmd_train_ssl(args) -> None:
+    """SSL training driver — parity with `python -m train_flags_SSL`
+    (`/root/reference/src/train_flags_SSL.py:74-104,221-603`): zips the
+    labeled and (rand-augmented) unlabeled/pseudo readers into one batch
+    with a `unlabeled_start` split, and selects the STAC or CSD loss
+    branch via the ssl config knobs."""
+    from udal_tpu.data.composition import ssl_batch_split, zip_readers
+    from udal_tpu.data.dataloader import InputReader
+    from udal_tpu.train.loop import train_and_evaluate
+
+    config = _load_config(args)
+    labeled_per_batch = ssl_batch_split(config, args.batch_size, args.ratio)
+    config.override({
+        "unlabeled_start": labeled_per_batch,
+        "ssl_method": args.ssl_method,
+        "stac_lambda": args.stac_lambda,
+        "csd_ramp": args.csd_ramp,
+        "csd_BE": args.csd_BE,
+        "csd_BE_thr": args.csd_BE_thr,
+    }, allow_new_keys=True)
+
+    reader_l = InputReader(args.train_file_pattern, is_training=True,
+                           max_instances_per_image=
+                           config.max_instances_per_image)
+    # the unlabeled/pseudo stream gets RandAugment (`train_flags_SSL.py`
+    # stac_randaug) via a policy override on its own reader config
+    import copy
+
+    cfg_u = copy.deepcopy(config)
+    if args.stac_randaug and args.ssl_method == "stac":
+        cfg_u.autoaugment_policy = "randaug"
+    reader_u = InputReader(args.unlabeled_file_pattern, is_training=True,
+                           max_instances_per_image=
+                           config.max_instances_per_image)
+
+    def make_train_iter():
+        it_l = reader_l
+        it_u = lambda cfg, bs: reader_u(cfg_u, bs)  # noqa: E731
+        return zip_readers(it_l, it_u, config, labeled_per_batch,
+                           args.batch_size - labeled_per_batch)
+
+    steps = args.steps_per_epoch or max(
+        1, args.num_examples_per_epoch // args.batch_size)
+    val_iter_fn = None
+    val_steps = 0
+    if args.val_file_pattern:
+        val_reader = InputReader(args.val_file_pattern, is_training=False)
+        val_steps = max(1, (args.eval_samples or 64) // args.batch_size)
+
+        def val_iter_fn():
+            return val_reader(config, args.batch_size)
+
+    os.makedirs(args.model_dir, exist_ok=True)
+    config.save_to_yaml(os.path.join(args.model_dir, "config.yaml"))
+    train_and_evaluate(config, make_train_iter(), steps, args.model_dir,
+                       val_iter_fn=val_iter_fn, val_steps=val_steps)
+
+
 def cmd_eval(args) -> None:
     import numpy as np
 
@@ -339,6 +397,22 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--steps_per_epoch", type=int, default=None)
     t.add_argument("--use_fake_data", action="store_true")
     t.set_defaults(fn=cmd_train)
+
+    ts = sub.add_parser("train_ssl")
+    common(ts)
+    ts.add_argument("--train_file_pattern", required=True)
+    ts.add_argument("--unlabeled_file_pattern", required=True)
+    ts.add_argument("--num_examples_per_epoch", type=int, default=1024)
+    ts.add_argument("--steps_per_epoch", type=int, default=None)
+    ts.add_argument("--ratio", type=float, default=0.5,
+                    help="labeled fraction of each batch")
+    ts.add_argument("--ssl_method", choices=["stac", "csd"], default="stac")
+    ts.add_argument("--stac_lambda", type=float, default=1.0)
+    ts.add_argument("--stac_randaug", action="store_true")
+    ts.add_argument("--csd_ramp", action="store_true")
+    ts.add_argument("--csd_BE", action="store_true")
+    ts.add_argument("--csd_BE_thr", type=float, default=0.5)
+    ts.set_defaults(fn=cmd_train_ssl)
 
     e = sub.add_parser("eval")
     common(e)
