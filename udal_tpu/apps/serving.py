@@ -41,9 +41,13 @@ class ServingDriver:
 
     def __init__(self, config: Config, variables: Any,
                  batch_size: int = 1, dtype=jnp.float32,
-                 mc_seed: int = 0, use_pallas_nms: bool = False):
+                 mc_seed: int = 0, use_pallas_nms: Optional[bool] = None):
         self.config = config
         self.batch_size = batch_size
+        if use_pallas_nms is None:
+            # the VMEM-resident kernel is the fast path on real TPUs;
+            # CPU (tests) and other platforms use the XLA loop
+            use_pallas_nms = jax.devices()[0].platform in ("tpu", "axon")
         self.use_pallas_nms = use_pallas_nms
         self.model = EfficientDetNet(config, dtype=dtype)
         self.variables = variables
