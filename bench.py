@@ -31,8 +31,10 @@ import numpy as np
 
 T = 10
 BATCH = 8
-K_OPT = 16     # scanned batches per timed call (optimized path)
-K_REF = 4      # scanned images per timed call (reference-style path)
+# The relay adds ~36 ms per *call*; scanning many batches inside one call
+# amortizes it below 1% so the reported number is the device rate.
+K_OPT = 48     # scanned batches per timed call (optimized path)
+K_REF = 12     # scanned images per timed call (reference-style path)
 
 
 def build(dtype):
@@ -55,10 +57,11 @@ def _mc_batch_fn(cfg, model):
     from udal_tpu.ops.postprocess import postprocess_global
 
     def one_batch(variables, images, key):
-        keys = jax.random.split(key, T)
-        cls_s, box_s = jax.vmap(
-            lambda k: model.apply(variables, images, train=False,
-                                  rngs={"dropout": k}))(keys)
+        from udal_tpu.models.efficientdet import mc_forward
+        # mc_forward takes the fast path: shared stem+block0 prefix hoisted
+        # out of the sample vmap, block-0 tail folded into one packed
+        # batched matmul (models/mc_fast.py)
+        cls_s, box_s = mc_forward(model, variables, images, key, T)
         # bf16 flows straight into postprocess; only selected candidates are
         # upcast inside the pipeline; NMS runs as the VMEM-resident Pallas
         # kernel

@@ -87,6 +87,15 @@ def timed(step_fn, variables, x, label, batch):
 
 
 def fwd_fn(cfg, model):
+    from udal_tpu.models.efficientdet import mc_forward
+
+    def f(variables, images, key):
+        cls_s, box_s = mc_forward(model, variables, images, key, T)
+        return tree_sum(cls_s) + tree_sum(box_s)
+    return f
+
+
+def fwd_naive_fn(cfg, model):
     def f(variables, images, key):
         keys = jax.random.split(key, T)
         cls_s, box_s = jax.vmap(
@@ -227,6 +236,8 @@ def main():
             fn = full_fn(cfg, model)
         elif v0 == "fwd":
             fn = fwd_fn(cfg, model)
+        elif v0 == "fwd_naive":
+            fn = fwd_naive_fn(cfg, model)
         elif v0 == "backbone":
             fn = backbone_fn(cfg, model)
         elif v0 == "features":

@@ -13,7 +13,7 @@ import numpy as np
 
 from udal_tpu.ops.pallas_dw import fused_depthwise
 
-K_SCAN = 8
+K_SCAN = int(os.environ.get('K_SCAN', '8'))
 
 # (k, stride, H, W, C_logical) at N=80 (T=10 x B=8), d0 @1024x512.
 # The Pallas kernel runs at C padded to the 128-lane width (what the MBConv

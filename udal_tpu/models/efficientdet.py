@@ -102,10 +102,11 @@ class EfficientDetNet(nn.Module):
                 cfg.seg_num_classes, cfg.fpn_num_filters, num_levels,
                 cfg.act_type, self.bn_axis_name, self.dtype, name="seg_head")
 
-    def features(self, images: jnp.ndarray, train: bool = False):
+    def features(self, images: jnp.ndarray, train: bool = False,
+                 start_block: int = 0):
         """Backbone → extra-level resampling → BiFPN feature maps."""
         cfg = self.config
-        backbone_outs = self.backbone(images, train)
+        backbone_outs = self.backbone(images, train, start_block=start_block)
         # [features, r1..r5] — levels 3..5 are reductions 3..5
         feats = list(backbone_outs[cfg.min_level:cfg.max_level + 1])
         for i, level in enumerate(range(6, cfg.max_level + 1)):
@@ -127,6 +128,12 @@ class EfficientDetNet(nn.Module):
 
     def __call__(self, images: jnp.ndarray, train: bool = False):
         return self.predict_heads(self.features(images, train), train)
+
+    def forward_from_block1(self, x, train: bool = False):
+        """Forward from the block-1 input — the per-sample part of the fast
+        MC path (models/mc_fast.py); the stem + block 0 run once outside."""
+        return self.predict_heads(
+            self.features(x, train, start_block=1), train)
 
 
 def mc_forward(model: EfficientDetNet, variables, images: jnp.ndarray,
@@ -158,6 +165,12 @@ def mc_forward(model: EfficientDetNet, variables, images: jnp.ndarray,
                                rngs={"dropout": k})
 
         return jax.vmap(heads_pass)(keys)
+
+    from udal_tpu.models.mc_fast import fast_mc_eligible, mc_forward_fast
+    if not train and fast_mc_eligible(cfg, variables):
+        # shared-prefix hoist + exact block-0 fold (see models/mc_fast.py)
+        return mc_forward_fast(model, variables, images, key, num_samples,
+                               train)
 
     def one_pass(k):
         return model.apply(variables, images, train=train,

@@ -324,7 +324,7 @@ class EfficientNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, start_block: int = 0):
         """Returns [logits_or_features, reduction_1 … reduction_5].
 
         Same list contract as the reference backbone with
@@ -332,15 +332,25 @@ class EfficientNet(nn.Module):
         element 0 is the final feature map (or logits when `include_top`),
         elements 1..5 are the stride 2/4/8/16/32 reduction endpoints — so
         `outputs[min_level:max_level+1]` picks P3-P5 inputs.
+
+        `start_block > 0` treats `x` as the output of block
+        `start_block - 1` and skips the stem and earlier blocks — the entry
+        point for the fast MC path (models/mc_fast.py), which computes the
+        shared prefix once outside the sample vmap. Skipped reduction
+        endpoints other than `x` itself are reported as None (only
+        reductions ≥ min_level are consumed downstream).
         """
         spec = self.spec
         act = activation_fn(self.act_type)
 
-        x = nn.Conv(spec.stem_filters, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, kernel_init=conv_kernel_init,
-                    dtype=self.dtype, name="stem_conv")(x)
-        x = act(BatchNorm(spec.bn_momentum, spec.bn_epsilon, self.axis_name,
-                          dtype=self.dtype, name="stem_bn")(x, train))
+        if start_block == 0:
+            x = nn.Conv(spec.stem_filters, (3, 3), strides=(2, 2),
+                        padding="SAME", use_bias=False,
+                        kernel_init=conv_kernel_init,
+                        dtype=self.dtype, name="stem_conv")(x)
+            x = act(BatchNorm(spec.bn_momentum, spec.bn_epsilon,
+                              self.axis_name, dtype=self.dtype,
+                              name="stem_bn")(x, train))
 
         # expand per-repeat blocks
         expanded: List[BlockArgs] = []
@@ -353,7 +363,15 @@ class EfficientNet(nn.Module):
         endpoints = {}
         reduction_idx = 0
         n = len(expanded)
+        for idx in range(start_block):
+            # replay the reduction bookkeeping for skipped blocks
+            if (idx == n - 1) or (expanded[idx + 1].strides[0] > 1):
+                reduction_idx += 1
+                endpoints[f"reduction_{reduction_idx}"] = (
+                    x if idx == start_block - 1 else None)
         for idx, a in enumerate(expanded):
+            if idx < start_block:
+                continue
             is_reduction = (idx == n - 1) or (expanded[idx + 1].strides[0] > 1)
             survival_prob = spec.survival_prob
             if survival_prob:
