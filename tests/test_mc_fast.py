@@ -25,6 +25,7 @@ def small_cfg(mc=True):
     cfg.mc_dropoutrate = 0.05 if mc else 0.0
     cfg.mc_dropoutsamp = 2
     cfg.is_training_bn = False
+    cfg.mc_fast_fold = True  # opt into the fold (off by default; see mc_fast)
     return cfg
 
 
@@ -167,3 +168,33 @@ def test_ineligible_configs_fall_back():
     x = jnp.asarray(rng.rand(1, 128, 256, 3), jnp.float32)
     cls_s, box_s = mc_forward(model, variables, x, jax.random.PRNGKey(8), 2)
     assert cls_s[0].shape[0] == 2
+
+
+def test_fused_block01_fold_matches_full_forward_with_unit_masks():
+    """The composed block0-tail ⊕ block1-expand matmul with unit masks must
+    reproduce the no-dropout forward exactly."""
+    from udal_tpu.models.mc_fast import folded_block0_block1_expand
+
+    cfg = small_cfg(mc=False)
+    model = EfficientDetNet(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 128, 256, 3), jnp.float32)
+    variables = init_vars(model)
+
+    cls_ref, box_ref = model.apply(variables, x, train=False)
+
+    x0p, x0m = mc_shared_prefix(variables, x, jnp.float32, pack=4)
+    c0 = x0p.shape[-1] // 4
+    x1e = folded_block0_block1_expand(
+        variables, x0p, x0m, jax.random.PRNGKey(0), rate=0.0,
+        out_hw=(64, 128), pack=4,
+        mask2=jnp.ones((2, c0), jnp.float32),
+        mask1=jnp.ones((2, 6 * 16), jnp.float32))
+    cls_fast, box_fast = model.apply(
+        variables, x1e, False,
+        method=EfficientDetNet.forward_from_block1_expanded)
+
+    for a, b in zip(list(cls_ref) + list(box_ref),
+                    list(cls_fast) + list(box_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

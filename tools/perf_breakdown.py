@@ -227,6 +227,8 @@ def main():
         batch = 8
         if v.endswith("_b16"):
             batch, v0 = 16, v[:-4]
+        elif v.endswith("_b12"):
+            batch, v0 = 12, v[:-4]
         elif v.endswith("_b32"):
             batch, v0 = 32, v[:-4]
         else:

@@ -103,10 +103,11 @@ class EfficientDetNet(nn.Module):
                 cfg.act_type, self.bn_axis_name, self.dtype, name="seg_head")
 
     def features(self, images: jnp.ndarray, train: bool = False,
-                 start_block: int = 0):
+                 start_block: int = 0, start_in_expanded: bool = False):
         """Backbone → extra-level resampling → BiFPN feature maps."""
         cfg = self.config
-        backbone_outs = self.backbone(images, train, start_block=start_block)
+        backbone_outs = self.backbone(images, train, start_block=start_block,
+                                      start_in_expanded=start_in_expanded)
         # [features, r1..r5] — levels 3..5 are reductions 3..5
         feats = list(backbone_outs[cfg.min_level:cfg.max_level + 1])
         for i, level in enumerate(range(6, cfg.max_level + 1)):
@@ -134,6 +135,14 @@ class EfficientDetNet(nn.Module):
         MC path (models/mc_fast.py); the stem + block 0 run once outside."""
         return self.predict_heads(
             self.features(x, train, start_block=1), train)
+
+    def forward_from_block1_expanded(self, x, train: bool = False):
+        """Forward from block 1's post-dropout *expanded* tensor — the fast
+        MC path emits it directly from the fused block0-tail ⊕ block1-expand
+        matmul, skipping the narrow (lane-padded) block-0 output entirely."""
+        return self.predict_heads(
+            self.features(x, train, start_block=1, start_in_expanded=True),
+            train)
 
 
 def mc_forward(model: EfficientDetNet, variables, images: jnp.ndarray,

@@ -270,7 +270,14 @@ class MBConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool, survival_prob: Optional[float] = None):
+    def __call__(self, x, train: bool, survival_prob: Optional[float] = None,
+                 pre_expanded: bool = False):
+        """`pre_expanded=True` treats `x` as the post-dropout expanded
+        tensor (after expand_conv/bn0/act/dropout) — the entry used by the
+        fast MC path, which emits that tensor directly from a fused packed
+        matmul (models/mc_fast.py). Only valid for blocks without a
+        residual skip into the expanded domain (callers must not request it
+        for id_skip blocks, where `inputs` would be undefined)."""
         a = self.block_args
         act = activation_fn(self.act_type)
         bn = lambda name: BatchNorm(self.bn_momentum, self.bn_epsilon,
@@ -278,7 +285,7 @@ class MBConvBlock(nn.Module):
         inputs = x
         mc = self.mc_dropoutrate > 0.0
 
-        if a.expand_ratio != 1:
+        if a.expand_ratio != 1 and not pre_expanded:
             x = nn.Conv(a.input_filters * a.expand_ratio, (1, 1), padding="SAME",
                         use_bias=False, kernel_init=conv_kernel_init,
                         dtype=self.dtype, name="expand_conv")(x)
@@ -324,7 +331,8 @@ class EfficientNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, start_block: int = 0):
+    def __call__(self, x, train: bool = False, start_block: int = 0,
+                 start_in_expanded: bool = False):
         """Returns [logits_or_features, reduction_1 … reduction_5].
 
         Same list contract as the reference backbone with
@@ -380,7 +388,8 @@ class EfficientNet(nn.Module):
             x = MBConvBlock(a, self.act_type, spec.use_se, spec.bn_momentum,
                             spec.bn_epsilon, self.axis_name, self.mc_dropoutrate,
                             self.dtype, name=f"blocks_{idx}")(
-                x, train, survival_prob)
+                x, train, survival_prob,
+                pre_expanded=start_in_expanded and idx == start_block)
             if is_reduction:
                 reduction_idx += 1
                 endpoints[f"reduction_{reduction_idx}"] = x

@@ -44,8 +44,18 @@ PACK = 8  # spatial positions folded into the lane dim
 
 
 def fast_mc_eligible(cfg, variables) -> bool:
-    """True when the shared-prefix + block-0 fold applies exactly."""
+    """True when the shared-prefix + block-0 fold applies exactly.
+
+    Off by default (`cfg.mc_fast_fold = True` opts in): on-chip traces show
+    the naive path's block-0 chain costs ~8 ms in situ — XLA's batch-minor
+    layouts already avoid the lane-padding this fold was designed around —
+    while the fold's packed matmul + unpack-to-NHWC relayout costs ~17 ms.
+    The algebra is exact and fully tested; kept for configurations where
+    the backbone prefix dominates (larger T, head-heavy variants).
+    """
     try:
+        if not cfg.get("mc_fast_fold", False):
+            return False
         if not (cfg.mc_dropout and cfg.mc_dropoutrate):
             return False
         if cfg.backbone_name not in ("efficientnet-b0",):
@@ -60,6 +70,9 @@ def fast_mc_eligible(cfg, variables) -> bool:
             return False
         params = variables.get("params", {})
         if "backbone" not in params or "blocks_0" not in params["backbone"]:
+            return False
+        # the composed fold also needs block 1's expand conv (e != 1)
+        if "expand_conv" not in params["backbone"].get("blocks_1", {}):
             return False
         if "batch_stats" not in variables:
             return False
@@ -76,11 +89,11 @@ def _bn_affine(params, stats, dtype):
     return scale.astype(dtype), bias.astype(dtype)
 
 
-def mc_shared_prefix(variables, images: jnp.ndarray, dtype
+def mc_shared_prefix(variables, images: jnp.ndarray, dtype, pack: int = PACK
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """stem conv/bn/act + block-0 depthwise/bn/act, computed once at batch B.
 
-    Returns (x0_packed [B, H*W/PACK, PACK*C0], x0_mean [B, C0] in f32).
+    Returns (x0_packed [B, H*W/pack, pack*C0], x0_mean [B, C0] in f32).
     Pure-JAX mirror of the flax modules (same params, same op order);
     exactness is covered by tests/test_mc_fast.py.
     """
@@ -106,7 +119,7 @@ def mc_shared_prefix(variables, images: jnp.ndarray, dtype
 
     b, h, w, _ = x0.shape
     x0_mean = jnp.mean(x0.astype(jnp.float32), axis=(1, 2))
-    x0_packed = x0.reshape(b, h * w // PACK, PACK * c0)
+    x0_packed = x0.reshape(b, h * w // pack, pack * c0)
     return x0_packed, x0_mean
 
 
@@ -158,26 +171,93 @@ def folded_block0_tail(variables, x0_packed: jnp.ndarray,
     return y.astype(dtype).reshape(b, h, wd, co)
 
 
+def folded_block0_block1_expand(variables, x0_packed: jnp.ndarray,
+                                x0_mean: jnp.ndarray, key: jax.Array,
+                                rate: float, out_hw: Tuple[int, int],
+                                pack: int = 4,
+                                mask2: jnp.ndarray = None,
+                                mask1: jnp.ndarray = None) -> jnp.ndarray:
+    """Block-0 tail ⊕ block-1 expand as ONE batched packed matmul.
+
+    Between block 0's bn2 output and block 1's expand conv there is no
+    nonlinearity, so the folded per-sample project weight composes with the
+    expand weight: the narrow NHWC-16 tensor (whose 128-lane padding makes
+    it 8x its logical bytes) is never materialized. The matmul emits block
+    1's pre-activation expanded tensor; swish + the expand-side dropout
+    apply in its epilogue. Returns [B, H, W, C_exp] (NHWC).
+
+    `mask2` (block-0 channel mask) / `mask1` (expanded-channel mask)
+    override the dropout draws for tests.
+    """
+    p0 = variables["params"]["backbone"]["blocks_0"]
+    s0 = variables["batch_stats"]["backbone"]["blocks_0"]
+    p1 = variables["params"]["backbone"]["blocks_1"]
+    s1 = variables["batch_stats"]["backbone"]["blocks_1"]
+    dtype = x0_packed.dtype
+    act = activation_fn("swish")
+    b = x0_packed.shape[0]
+    c0 = x0_packed.shape[-1] // pack
+
+    k2, k1 = jax.random.split(key)
+    keep = 1.0 - rate
+    if mask2 is None:
+        mask2 = jax.random.bernoulli(k2, keep, (b, c0)).astype(jnp.float32) \
+            / keep
+    # SE on the masked mean — dropout commutes with the spatial mean
+    se_in = (mask2 * x0_mean).astype(dtype)
+    wr, br = p0["se"]["reduce"]["kernel"], p0["se"]["reduce"]["bias"]
+    we, be = p0["se"]["expand"]["kernel"], p0["se"]["expand"]["bias"]
+    z = act(se_in @ wr[0, 0].astype(dtype) + br.astype(dtype))
+    se = z @ we[0, 0].astype(dtype) + be.astype(dtype)
+    sigma = jax.nn.sigmoid(se.astype(jnp.float32)) * mask2    # [B, C0]
+
+    # per-sample composed weight: diag(σ)·W_proj·diag(bn2_s)·E·diag(bn0_s)
+    wp = p0["project_conv"]["kernel"][0, 0].astype(jnp.float32)   # [C0, Cn]
+    b2s, b2b = _bn_affine(p0["bn2"]["bn"], s0["bn2"]["bn"], jnp.float32)
+    ex = p1["expand_conv"]["kernel"][0, 0].astype(jnp.float32)    # [Cn, Ce]
+    b0s, b0b = _bn_affine(p1["bn0"]["bn"], s1["bn0"]["bn"], jnp.float32)
+    a_static = (wp * b2s[None, :]) @ (ex * b0s[None, :])          # [C0, Ce]
+    w = sigma[:, :, None] * a_static[None]                        # [B, C0, Ce]
+    bias = b2b @ (ex * b0s[None, :]) + b0b                        # [Ce]
+    ce = a_static.shape[-1]
+
+    eye = jnp.eye(pack, dtype=jnp.float32)
+    wbd = (eye[:, None, :, None] * w[:, None, :, None, :]
+           ).reshape(b, pack * c0, pack * ce).astype(dtype)
+
+    zp = jax.lax.dot_general(
+        x0_packed, wbd, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [B, M, pack*Ce]
+    zp = zp + jnp.tile(bias, pack)[None, None, :]
+    zp = act(zp)
+    if mask1 is None:
+        mask1 = jax.random.bernoulli(k1, keep, (b, ce)).astype(jnp.float32) \
+            / keep
+    zp = zp * jnp.tile(mask1, (1, pack))[:, None, :]
+    h, wd = out_hw
+    return zp.astype(dtype).reshape(b, h, wd, ce)
+
+
 def mc_forward_fast(model, variables, images: jnp.ndarray, key: jax.Array,
                     num_samples: int, train: bool = False
                     ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
-    """MC-dropout forward with the shared prefix + block-0 fold.
+    """MC-dropout forward with the shared prefix + block-0/1 fold.
 
     Drop-in replacement for the vmap branch of `mc_forward` when
     `fast_mc_eligible`; returns per-level [T, B, H, W, C] lists.
     """
     cfg = model.config
     dtype = model.dtype
-    x0_packed, x0_mean = mc_shared_prefix(variables, images, dtype)
+    x0_packed, x0_mean = mc_shared_prefix(variables, images, dtype, pack=4)
     h2, w2 = images.shape[1] // 2, images.shape[2] // 2
     keys = jax.random.split(key, num_samples)
 
     def one_pass(k):
         k0, k1 = jax.random.split(k)
-        x1 = folded_block0_tail(variables, x0_packed, x0_mean, k0,
-                                cfg.mc_dropoutrate, (h2, w2))
-        return model.apply(variables, x1, train,
-                           method=type(model).forward_from_block1,
+        x1e = folded_block0_block1_expand(
+            variables, x0_packed, x0_mean, k0, cfg.mc_dropoutrate, (h2, w2))
+        return model.apply(variables, x1e, train,
+                           method=type(model).forward_from_block1_expanded,
                            rngs={"dropout": k1})
 
     return jax.vmap(one_pass)(keys)
