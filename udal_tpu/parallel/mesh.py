@@ -155,3 +155,53 @@ def grouped_batch_stats(x, mesh: Mesh, group_size: int = 32):
     return shard_map(stats, mesh=mesh,
                      in_specs=P("data"),
                      out_specs=(P("data"), P("data")))(x)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (the 'model' axis)
+# ---------------------------------------------------------------------------
+
+def param_partition_spec(path: str, x, n_model: int):
+    """Channel-dim PartitionSpec for one parameter leaf.
+
+    Output-channel sharding over the 'model' axis wherever the trailing dim
+    divides: conv kernels [kh, kw, ci, co] shard co, depthwise kernels
+    [k, k, 1, C] shard C, and BN scale/bias/mean/var [C] shard C — so the
+    activations flow channel-sharded through expand -> dw -> SE and GSPMD
+    inserts the contraction collectives at the projects/heads. Scalars and
+    non-divisible leaves stay replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if n_model <= 1 or x.ndim == 0:
+        return P()
+    if x.shape[-1] % n_model != 0:
+        return P()
+    return P(*([None] * (x.ndim - 1) + ["model"]))
+
+
+def shard_params_tp(mesh: Mesh, tree):
+    """device_put a params/batch_stats pytree with channel sharding over
+    the 'model' mesh axis (replicated over 'data')."""
+    n_model = mesh.shape["model"]
+
+    def put(path, x):
+        spec = param_partition_spec(jax.tree_util.keystr(path), x, n_model)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, tree)
+
+
+def shard_state_tp(mesh: Mesh, state, tx):
+    """Shard a TrainState for data x model SPMD: params/batch_stats/EMA get
+    channel sharding; the optimizer state is re-initialized from the
+    sharded params so its moment pytrees inherit the same layout."""
+    params = shard_params_tp(mesh, state.params)
+    return state.replace(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=params,
+        batch_stats=shard_params_tp(mesh, state.batch_stats),
+        opt_state=tx.init(params),
+        ema_params=(shard_params_tp(mesh, state.ema_params)
+                    if state.ema_params is not None else None),
+    )

@@ -230,8 +230,15 @@ def eval_step(config, model, state: TrainState, images, labels
 
 
 def make_jitted_train_step(config, model, tx, schedule, steps_per_epoch: int,
-                           mesh=None):
-    """jit the train step; with a mesh, inputs are sharded over 'data'."""
+                           mesh=None, tensor_parallel: bool = False):
+    """jit the train step; with a mesh, inputs are sharded over 'data'.
+
+    `tensor_parallel=True` (with a mesh whose 'model' axis > 1) leaves the
+    state shardings to the arrays themselves — pass a state prepared with
+    `parallel.mesh.shard_state_tp`, whose channel-sharded params make GSPMD
+    partition the conv compute over the 'model' axis and insert the
+    contraction collectives automatically.
+    """
     step_fn = functools.partial(train_step, config, model, tx, schedule,
                                 steps_per_epoch)
     if mesh is None:
@@ -239,6 +246,10 @@ def make_jitted_train_step(config, model, tx, schedule, steps_per_epoch: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    if tensor_parallel:
+        # state sharding comes from the input arrays (shard_state_tp)
+        return jax.jit(step_fn, donate_argnums=(0,),
+                       in_shardings=(None, data, data, repl))
     return jax.jit(step_fn, donate_argnums=(0,),
                    in_shardings=(repl, data, data, repl),
                    out_shardings=(repl, repl))
