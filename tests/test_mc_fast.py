@@ -198,3 +198,33 @@ def test_fused_block01_fold_matches_full_forward_with_unit_masks():
                     list(cls_fast) + list(box_fast)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_all_samples_fold_matches_per_sample_fold():
+    """v4 (one dot, t as a free rhs dim) equals the per-sample folded tail
+    for the same pinned masks."""
+    from udal_tpu.models.mc_fast import (folded_block0_all_samples,
+                                         folded_block0_tail)
+
+    cfg = small_cfg()
+    model = EfficientDetNet(cfg)
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(2, 128, 256, 3), jnp.float32)
+    variables = init_vars(model)
+
+    x0, x0m = mc_shared_prefix(variables, x, jnp.float32, pack=None)
+    b, _, _, c0 = x0.shape
+    t = 3
+    masks = jnp.asarray((rng.rand(t, b, c0) > 0.05) / 0.95, jnp.float32)
+
+    y_all = folded_block0_all_samples(variables, x0, x0m,
+                                      jax.random.PRNGKey(0), 0.05, t,
+                                      masks=masks)
+    assert y_all.shape[:2] == (b, t)
+
+    x0p = x0.reshape(b, -1, PACK * c0)
+    for ti in range(t):
+        want = folded_block0_tail(variables, x0p, x0m, jax.random.PRNGKey(0),
+                                  0.05, (64, 128), mask=masks[ti])
+        np.testing.assert_allclose(np.asarray(y_all[:, ti]),
+                                   np.asarray(want), rtol=3e-4, atol=3e-4)

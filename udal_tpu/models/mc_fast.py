@@ -21,11 +21,13 @@ per-sample folded weights on the SHARED x0 — plus tiny SE MLPs on vectors.
 The shared prefix (stem + block-0 depthwise/bn/act) runs once at batch B
 instead of T*B.
 
-To avoid re-reading x0 in its padded NHWC-32 layout T times, x0 is packed
-once to [B, H*W/8, 8*32] (lane-dense) and the folded weights are
-block-diagonalized to [B, 256, 128]; the batched dot then runs at the HBM
-roofline. The unpack back to NHWC-16 happens once per sample on the way
-into block 1.
+Four formulations were built and measured on v5e; the production path is
+v4 (`folded_block0_all_samples`): ONE `einsum('bhwc,btcd->bthwd')` outside
+the sample vmap, with t a free dim of the folded-weight operand — the
+shared x0 is read once and none of the broadcast-lhs batched-dot layout
+pathologies of v1-v3 appear (those remain as tested building blocks; see
+docs/PERF_ANALYSIS.md for the full measurement table). End-to-end: ~2.7%
+faster than the naive vmap at the d0 op point (112.5 -> 115 img/s).
 
 Replaces the hot loop at `/root/reference/src/efficientdet_keras.py:999-1024`
 together with `mc_forward` (models/efficientdet.py).
@@ -46,15 +48,14 @@ PACK = 8  # spatial positions folded into the lane dim
 def fast_mc_eligible(cfg, variables) -> bool:
     """True when the shared-prefix + block-0 fold applies exactly.
 
-    Off by default (`cfg.mc_fast_fold = True` opts in): on-chip traces show
-    the naive path's block-0 chain costs ~8 ms in situ — XLA's batch-minor
-    layouts already avoid the lane-padding this fold was designed around —
-    while the fold's packed matmul + unpack-to-NHWC relayout costs ~17 ms.
-    The algebra is exact and fully tested; kept for configurations where
-    the backbone prefix dominates (larger T, head-heavy variants).
+    The v4 formulation (one dot outside the sample vmap with t a free rhs
+    dim, `folded_block0_all_samples`) measures ~2.7% faster end-to-end on
+    v5e and is ON by default; `cfg.mc_fast_fold = False` opts out. (The
+    earlier v1-v3 formulations measured neutral-or-worse — see
+    docs/PERF_ANALYSIS.md — and remain only as tested building blocks.)
     """
     try:
-        if not cfg.get("mc_fast_fold", False):
+        if not cfg.get("mc_fast_fold", True):
             return False
         if not (cfg.mc_dropout and cfg.mc_dropoutrate):
             return False
@@ -277,10 +278,51 @@ def folded_block0_tail_conv(variables, x0: jnp.ndarray,
     return y + bbias.astype(dtype)[None, None, None, :]
 
 
+def folded_block0_all_samples(variables, x0: jnp.ndarray,
+                              x0_mean: jnp.ndarray, key: jax.Array,
+                              rate: float, num_samples: int,
+                              masks: jnp.ndarray = None) -> jnp.ndarray:
+    """Block-0 tail for ALL samples as ONE dot with t a free rhs dim.
+
+    y[b, t, h, w, d] = Σ_c x0[b, h, w, c] · Wfold[b, t, c, d] — the shared
+    x0 is read once (not per sample), the per-(t, b) folded weights carry
+    dropout ⊙ SE ⊙ bn2, and t lands next to the channel dim so no batched
+    dot with broadcast lhs (and none of its layout pathologies, see
+    docs/PERF_ANALYSIS.md fold v1/v2) is involved. Returns [B, T, H, W, Co].
+    """
+    p0 = variables["params"]["backbone"]["blocks_0"]
+    s0 = variables["batch_stats"]["backbone"]["blocks_0"]
+    dtype = x0.dtype
+    act = activation_fn("swish")
+    b, h, w, c0 = x0.shape
+    t = num_samples
+
+    if masks is None:
+        keep = 1.0 - rate
+        masks = jax.random.bernoulli(
+            key, keep, (t, b, c0)).astype(jnp.float32) / keep
+    se_in = (masks * x0_mean[None]).astype(dtype)            # [T, B, C0]
+    wr, br = p0["se"]["reduce"]["kernel"], p0["se"]["reduce"]["bias"]
+    we, be = p0["se"]["expand"]["kernel"], p0["se"]["expand"]["bias"]
+    z = act(se_in @ wr[0, 0].astype(dtype) + br.astype(dtype))
+    se = z @ we[0, 0].astype(dtype) + be.astype(dtype)
+    sigma = jax.nn.sigmoid(se.astype(jnp.float32)) * masks   # [T, B, C0]
+
+    wp = p0["project_conv"]["kernel"][0, 0].astype(jnp.float32)  # [C0, Co]
+    bscale, bbias = _bn_affine(p0["bn2"]["bn"], s0["bn2"]["bn"], jnp.float32)
+    wfold = sigma[..., None] * (wp * bscale[None, :])        # [T, B, C0, Co]
+    wfold = jnp.swapaxes(wfold, 0, 1).astype(dtype)          # [B, T, C0, Co]
+
+    y = jnp.einsum("bhwc,btcd->bthwd", x0, wfold,
+                   preferred_element_type=jnp.float32)
+    y = y + bbias[None, None, None, None, :]
+    return y.astype(dtype)
+
+
 def mc_forward_fast(model, variables, images: jnp.ndarray, key: jax.Array,
                     num_samples: int, train: bool = False
                     ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
-    """MC-dropout forward with the shared prefix + block-0/1 fold.
+    """MC-dropout forward with the shared prefix + block-0 fold (v4).
 
     Drop-in replacement for the vmap branch of `mc_forward` when
     `fast_mc_eligible`; returns per-level [T, B, H, W, C] lists.
@@ -288,14 +330,15 @@ def mc_forward_fast(model, variables, images: jnp.ndarray, key: jax.Array,
     cfg = model.config
     dtype = model.dtype
     x0, x0_mean = mc_shared_prefix(variables, images, dtype, pack=None)
-    keys = jax.random.split(key, num_samples)
+    k0, k1 = jax.random.split(key)
+    y_all = folded_block0_all_samples(variables, x0, x0_mean, k0,
+                                      cfg.mc_dropoutrate, num_samples)
+    keys = jax.random.split(k1, num_samples)
 
-    def one_pass(k):
-        k0, k1 = jax.random.split(k)
-        x1 = folded_block0_tail_conv(variables, x0, x0_mean, k0,
-                                     cfg.mc_dropoutrate)
+    def one_pass(x1, k):
         return model.apply(variables, x1, train,
                            method=type(model).forward_from_block1,
-                           rngs={"dropout": k1})
+                           rngs={"dropout": k})
 
-    return jax.vmap(one_pass)(keys)
+    # map over t on axis 1 of y_all — no explicit [B,T]->[T,B] transpose
+    return jax.vmap(one_pass, in_axes=(1, 0))(y_all, keys)
