@@ -170,3 +170,37 @@ def test_int8_weight_quantization_roundtrip():
     kinds = {np.asarray(l).dtype for p, l in leaves
              if (p[-1].key if hasattr(p[-1], "key") else "") == "kernel"}
     assert np.dtype(np.int8) in kinds
+
+
+def test_serve_sample_parallel_matches_unsharded():
+    """MC sample-axis sharding (the sequence-parallel analog): sharded and
+    unsharded programs agree for the same key."""
+    import jax
+
+    from udal_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    d = _driver(mc_dropout=True, mc_dropoutrate=0.1, mc_dropoutsamp=8,
+                loss_attenuation=True)
+    imgs = np.random.RandomState(1).randint(0, 255, (2, 64, 128, 3), np.uint8)
+
+    mesh = make_mesh(n_data=8)
+    d._mc_key = jax.random.PRNGKey(7)
+    out_sp = d.serve_sample_parallel(mesh, imgs)
+
+    d._mc_key = jax.random.PRNGKey(7)
+    out_ref = d.serve(imgs)
+
+    # T-moment reassociation under sharding perturbs near-tied scores, so
+    # detections may permute: compare order-robustly.
+    b_sp, s_sp, c_sp, v_sp = [np.asarray(t, np.float32) for t in out_sp[:4]]
+    b_rf, s_rf, c_rf, v_rf = [np.asarray(t, np.float32) for t in out_ref[:4]]
+    np.testing.assert_array_equal(v_sp, v_rf)
+    np.testing.assert_allclose(np.sort(s_sp, axis=1), np.sort(s_rf, axis=1),
+                               rtol=1e-3, atol=1e-3)
+    for i in range(b_sp.shape[0]):
+        n = int(v_sp[i])
+        for j in range(n):
+            dist = np.abs(b_rf[i, :n, :4] - b_sp[i, j, :4]).max(axis=1)
+            assert dist.min() < 0.5, (i, j, dist.min())

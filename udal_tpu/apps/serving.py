@@ -137,6 +137,42 @@ class ServingDriver:
         variables = jax.device_put(self.variables, repl)
         return fn(variables, images, sub)
 
+    def serve_sample_parallel(self, mesh, raw_images) -> Tuple[jnp.ndarray,
+                                                               ...]:
+        """Latency-oriented MC serving: batch replicated, the T MC-dropout
+        samples sharded over the mesh's 'data' axis.
+
+        The reference's only long axis is the MC sample loop
+        (`efficientdet_keras.py:999-1024`, SURVEY §5: the sequence-parallel
+        analog for this CNN detector) — here each chip runs T/n_devices
+        full forwards and the T-moment reductions in the postprocess become
+        ICI collectives. Requires mc_dropoutsamp % mesh['data'] == 0.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = self.config
+        repl = NamedSharding(mesh, P())
+        sample = NamedSharding(mesh, P("data"))
+
+        def impl(variables, raw_images, key):
+            images, scales = preprocess_images(raw_images, cfg.image_size,
+                                               cfg.mean_rgb, cfg.stddev_rgb)
+            images = images.astype(self.model.dtype)
+            cls_s, box_s = self._forward(variables, images, key)
+            con = lambda t: jax.lax.with_sharding_constraint(t, sample)
+            cls_s = [con(t) for t in cls_s]
+            box_s = [con(t) for t in box_s]
+            det = postprocess_global(cfg, cls_s, box_s, image_scales=scales,
+                                     use_pallas_nms=self.use_pallas_nms)
+            return det.packed()
+
+        self._mc_key, sub = jax.random.split(self._mc_key)
+        fn = jax.jit(impl, in_shardings=(repl, repl, repl))
+        with mesh:
+            variables = jax.device_put(self.variables, repl)
+            return fn(variables, jax.device_put(
+                jnp.asarray(raw_images), repl), sub)
+
     # -- export ---------------------------------------------------------------
 
     def export(self, output_dir: str) -> str:

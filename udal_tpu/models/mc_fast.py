@@ -241,43 +241,6 @@ def folded_block0_block1_expand(variables, x0_packed: jnp.ndarray,
     return zp.astype(dtype).reshape(b, h, wd, ce)
 
 
-def folded_block0_tail_conv(variables, x0: jnp.ndarray,
-                            x0_mean: jnp.ndarray, key: jax.Array,
-                            rate: float,
-                            mask: jnp.ndarray = None) -> jnp.ndarray:
-    """Block-0 tail as scale-into-conv: y = bn2(conv1x1(σ ⊙ x0)).
-
-    Unlike the packed-matmul variants this keeps plain NHWC and a plain
-    conv so XLA fuses the per-(sample, channel) scale σ into the conv's
-    input read — no masked-x0 materialization, no relayout. Designed to be
-    called under `vmap` over sample keys with `x0` closed over (shared).
-    """
-    p0 = variables["params"]["backbone"]["blocks_0"]
-    s0 = variables["batch_stats"]["backbone"]["blocks_0"]
-    dtype = x0.dtype
-    act = activation_fn("swish")
-    b, _, _, c0 = x0.shape
-
-    if mask is None:
-        keep = 1.0 - rate
-        mask = jax.random.bernoulli(key, keep, (b, c0)).astype(jnp.float32) \
-            / keep
-    se_in = (mask * x0_mean).astype(dtype)
-    wr, br = p0["se"]["reduce"]["kernel"], p0["se"]["reduce"]["bias"]
-    we, be = p0["se"]["expand"]["kernel"], p0["se"]["expand"]["bias"]
-    z = act(se_in @ wr[0, 0].astype(dtype) + br.astype(dtype))
-    se = z @ we[0, 0].astype(dtype) + be.astype(dtype)
-    sigma = (jax.nn.sigmoid(se.astype(jnp.float32)) * mask)   # [B, C0]
-
-    wp = p0["project_conv"]["kernel"].astype(dtype)           # [1,1,C0,Co]
-    bscale, bbias = _bn_affine(p0["bn2"]["bn"], s0["bn2"]["bn"], jnp.float32)
-    y = jax.lax.conv_general_dilated(
-        x0 * sigma[:, None, None, :].astype(dtype),
-        wp * bscale[None, None, None, :].astype(dtype),
-        (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + bbias.astype(dtype)[None, None, None, :]
-
-
 def folded_block0_all_samples(variables, x0: jnp.ndarray,
                               x0_mean: jnp.ndarray, key: jax.Array,
                               rate: float, num_samples: int,
