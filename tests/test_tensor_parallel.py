@@ -78,3 +78,24 @@ def test_tp_step_matches_dp_step():
     k = state_tp.params["backbone"]["blocks_1"]["expand_conv"]["kernel"]
     spec = k.sharding.spec
     assert spec[-1] == "model", spec
+
+
+@pytest.mark.slow
+def test_train_and_evaluate_with_n_model(tmp_path):
+    """The epoch loop builds a (data x model) mesh from config.n_model and
+    runs a TP-sharded epoch end to end."""
+    from udal_tpu.data.dataloader import InputReader
+    from udal_tpu.data.synthetic import write_synthetic_dataset
+    from udal_tpu.train.loop import train_and_evaluate
+
+    data = str(tmp_path / "train.tfrecord")
+    write_synthetic_dataset(data, num_images=8, height=64, width=64,
+                            num_classes=3, seed=0)
+    cfg = tiny_cfg()
+    cfg.num_epochs = 1
+    cfg.override({"n_model": 2, "batch_size": 4}, allow_new_keys=True)
+    reader = InputReader(data, is_training=True)
+    hist = train_and_evaluate(cfg, reader(cfg, 4), steps_per_epoch=2,
+                              model_dir=str(tmp_path / "m"),
+                              log_fn=lambda s: None)
+    assert np.isfinite(hist["loss"][-1])

@@ -87,6 +87,8 @@ def cmd_train(args) -> None:
         def val_iter_fn():
             return val_reader(config, args.batch_size)
 
+    if getattr(args, "n_model", 1) > 1:
+        config.override({"n_model": args.n_model}, allow_new_keys=True)
     os.makedirs(args.model_dir, exist_ok=True)
     config.save_to_yaml(os.path.join(args.model_dir, "config.yaml"))
     train_and_evaluate(config, train_iter, steps, args.model_dir,
@@ -396,6 +398,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--num_examples_per_epoch", type=int, default=1024)
     t.add_argument("--steps_per_epoch", type=int, default=None)
     t.add_argument("--use_fake_data", action="store_true")
+    t.add_argument("--n_model", type=int, default=1,
+                   help="tensor-parallel width of the device mesh "
+                        "('model' axis; conv channels shard via GSPMD)")
     t.set_defaults(fn=cmd_train)
 
     ts = sub.add_parser("train_ssl")

@@ -59,16 +59,24 @@ def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
     model, state, tx, schedule = create_train_state(config, rng,
                                                     steps_per_epoch)
     state, start_epoch = restore_checkpoint(model_dir, state)
+    n_model = int(config.get("n_model", 1) or 1)
     if mesh is None and jax.device_count() > 1:
         # batch must divide evenly over the data axis
         batch = int(config.get("batch_size", 0) or 0)
-        n = jax.device_count()
+        n = jax.device_count() // n_model
         while batch and n > 1 and batch % n != 0:
             n -= 1
-        if n > 1:
-            mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
+        if n * n_model > 1:
+            mesh = make_mesh(n_data=n, n_model=n_model,
+                             devices=jax.devices()[:n * n_model])
+    tensor_parallel = mesh is not None and mesh.shape.get("model", 1) > 1
+    if tensor_parallel:
+        from udal_tpu.parallel.mesh import shard_state_tp
+        with mesh:
+            state = shard_state_tp(mesh, state, tx)
     step_fn = make_jitted_train_step(config, model, tx, schedule,
-                                     steps_per_epoch, mesh)
+                                     steps_per_epoch, mesh,
+                                     tensor_parallel=tensor_parallel)
     eval_fn = jax.jit(lambda s, i, l: eval_step(config, model, s, i, l))
 
     stopper = EarlyStopping(config.early_stopping_patience or 0)
