@@ -10,6 +10,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# full-model compiles dominate these tests — heavy (nightly) tier
+pytestmark = pytest.mark.slow
+
 from udal_tpu.config import get_detection_config
 from udal_tpu.models.efficientdet import EfficientDetNet, mc_forward
 from udal_tpu.models.mc_fast import (PACK, fast_mc_eligible,

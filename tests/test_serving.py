@@ -172,6 +172,7 @@ def test_int8_weight_quantization_roundtrip():
     assert np.dtype(np.int8) in kinds
 
 
+@pytest.mark.slow
 def test_serve_sample_parallel_matches_unsharded():
     """MC sample-axis sharding (the sequence-parallel analog): sharded and
     unsharded programs agree for the same key."""

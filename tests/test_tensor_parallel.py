@@ -69,6 +69,7 @@ def test_param_partition_spec_shards_channels():
         jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_tp_step_matches_dp_step():
     loss_dp, _ = run_step(8, 1, tensor_parallel=False)
     loss_tp, state_tp = run_step(4, 2, tensor_parallel=True)
