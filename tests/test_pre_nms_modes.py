@@ -1,0 +1,114 @@
+"""pre_nms candidate selection/gather across all four uncertainty modes.
+
+Regression cover for the anchor-major row gather: for each mode
+(det / LA / MC / LA+MC) the gathered candidate boxes must equal a naive
+per-element gather from the raw per-level outputs.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from udal_tpu.config import get_detection_config
+from udal_tpu.ops import anchors as anchor_lib
+from udal_tpu.ops.postprocess import pre_nms
+
+
+def make_cfg(loss_att):
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = "128x64"
+    cfg.num_classes = 3
+    cfg.loss_attenuation = loss_att
+    cfg.override({"nms_configs": dict(cfg.nms_configs)}, allow_new_keys=True)
+    cfg.nms_configs["max_nms_inputs"] = 50
+    return cfg
+
+
+def make_outputs(cfg, rng, mc, t=3, b=2):
+    num_anc = len(cfg.aspect_ratios) * cfg.num_scales
+    halves = 2 if cfg.loss_attenuation else 1
+    cls_outputs, box_outputs = [], []
+    h, w = 8, 16
+    for level in range(cfg.min_level, cfg.max_level + 1):
+        cshape = (b, h, w, num_anc * cfg.num_classes)
+        bshape = (b, h, w, halves * num_anc * 4)
+        if mc:
+            cshape = (t,) + cshape
+            bshape = (t,) + bshape
+        cls_outputs.append(jnp.asarray(rng.randn(*cshape), jnp.float32))
+        box_outputs.append(jnp.asarray(rng.randn(*bshape) * 0.1, jnp.float32))
+        h, w = max(1, h // 2), max(1, w // 2)
+    return cls_outputs, box_outputs
+
+
+def naive_candidate_mu(cfg, box_outputs, indices, mc):
+    """Gather raw (mu) box regressions for candidates the slow way."""
+    num_anc = len(cfg.aspect_ratios) * cfg.num_scales
+    halves = 2 if cfg.loss_attenuation else 1
+    flat = []
+    for tens in box_outputs:
+        lead = tens.shape[:-3]
+        hw = tens.shape[-3] * tens.shape[-2]
+        # [T?, B, hw, S, A, 4] -> positions-major (r, a) like the pipeline
+        r = np.asarray(tens).reshape(lead + (hw, halves, num_anc, 4))
+        flat.append(r)
+    full = np.concatenate(flat, axis=-4)   # [T?, B, R, S, A, 4]
+    idx = np.asarray(indices)              # [B, M] = r * A + a
+    rows, anc = idx // num_anc, idx % num_anc
+    out = []
+    b = idx.shape[0]
+    for bi in range(b):
+        if mc:
+            sel = full[:, bi, rows[bi], :, anc[bi]]      # [M?, T, S, 4]
+            sel = np.moveaxis(sel, 0, 1)                 # [T, M, S, 4]
+        else:
+            sel = full[bi, rows[bi], :, anc[bi]]         # [M, S, 4]
+        out.append(sel)
+    return np.stack(out, axis=1 if mc else 0)            # [T?, B, M, S, 4]
+
+
+@pytest.mark.parametrize("loss_att,mc", list(itertools.product(
+    [False, True], [False, True])))
+def test_pre_nms_modes_shapes_and_gather(loss_att, mc):
+    cfg = make_cfg(loss_att)
+    rng = np.random.RandomState(0)
+    cls_outputs, box_outputs = make_outputs(cfg, rng, mc)
+
+    out = pre_nms(cfg, cls_outputs, box_outputs)
+    m = 50
+    assert out["boxes"].shape[-2:] == (m, 4)
+    assert out["scores_logits"].shape[-1] == m
+    assert (out["sigma_al"] is not None) == loss_att
+    assert (out["sigma_mc"] is not None) == mc
+    assert (out["sigma_cls"] is not None) == mc
+    for k in ("boxes", "sigma_al", "sigma_mc"):
+        if out[k] is not None:
+            assert np.all(np.isfinite(np.asarray(out[k])))
+
+    # the gathered raw mu regressions must match a naive scatter-gather;
+    # verify through the decode: re-decode the naive mu with the selected
+    # anchors and compare to the pipeline's boxes (exact same math)
+    anchors = anchor_lib.from_config(cfg)
+    naive_mu = naive_candidate_mu(cfg, box_outputs, out["indices"], mc)
+    anchor_sel = np.asarray(jnp.take(anchors.boxes,
+                                     out["indices"], axis=0))
+    if not loss_att:
+        dec = anchor_lib.decode_box_outputs(
+            jnp.asarray(naive_mu[..., 0, :], jnp.float32),
+            jnp.asarray(anchor_sel))
+        want = np.mean(np.asarray(dec), axis=0) if mc else np.asarray(dec)
+        np.testing.assert_allclose(np.asarray(out["boxes"]), want,
+                                   rtol=1e-5, atol=1e-5)
+    else:
+        from udal_tpu.ops.uncertainty import decode_uncert
+        mu = jnp.asarray(naive_mu[..., 0, :], jnp.float32)
+        sg = jnp.asarray(naive_mu[..., 1, :], jnp.float32)
+        dec, _ = decode_uncert(mu, sg, jnp.asarray(anchor_sel),
+                               method=cfg.uncert_adjust_method,
+                               n_samples=cfg.decode_nsamples)
+        want = np.mean(np.asarray(dec), axis=0) if mc else np.asarray(dec)
+        np.testing.assert_allclose(np.asarray(out["boxes"]), want,
+                                   rtol=1e-4, atol=1e-4)
