@@ -25,9 +25,10 @@ Four formulations were built and measured on v5e; the production path is
 v4 (`folded_block0_all_samples`): ONE `einsum('bhwc,btcd->bthwd')` outside
 the sample vmap, with t a free dim of the folded-weight operand — the
 shared x0 is read once and none of the broadcast-lhs batched-dot layout
-pathologies of v1-v3 appear (those remain as tested building blocks; see
-docs/PERF_ANALYSIS.md for the full measurement table). End-to-end: ~2.7%
-faster than the naive vmap at the d0 op point (112.5 -> 115 img/s).
+pathologies of the earlier variants appear (v1/v2 remain below as tested
+building blocks; see docs/PERF_ANALYSIS.md for the full measurement
+table). End-to-end: ~2.7% faster than the naive vmap at the d0 op point
+(112.5 -> 115 img/s).
 
 Replaces the hot loop at `/root/reference/src/efficientdet_keras.py:999-1024`
 together with `mc_forward` (models/efficientdet.py).
