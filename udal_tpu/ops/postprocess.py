@@ -225,14 +225,16 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
     indices = rows * num_anc + anc
 
     def gather_cls(t):       # [B, A, C, R] -> [B, M, C]
+        # same anchor-major row-gather scheme as the boxes: contiguous
+        # C-runs per candidate instead of M*C scattered elements
         if t is None:
             return None
-        g = jnp.take_along_axis(t, rows[:, None, None, :], axis=3)
-        g = jnp.take_along_axis(g, anc[:, None, None, :], axis=1)[:, 0]
-        return jnp.swapaxes(g, -1, -2)                     # [B, M, C]
+        rows_t = jnp.transpose(t, (0, 1, 3, 2)).reshape(
+            b, num_anc * r_len, -1)
+        return jnp.take_along_axis(rows_t, flat_idx[:, :, None], axis=1)
 
-    g = jnp.take_along_axis(classes_ar, rows[:, None, :], axis=2)
-    classes = jnp.take_along_axis(g, anc[:, None, :], axis=1)[:, 0]
+    classes = jnp.take_along_axis(
+        classes_ar.reshape(b, n_total), flat_idx, axis=1)
 
     def gather_box(t):       # [B, A, hw, T?*S*4] rows -> [T?, B, M, S, 4]
         # Row gather: flat_idx = a*R + r indexes [B, A*R, T*S*4] rows whose
