@@ -231,3 +231,41 @@ def test_all_samples_fold_matches_per_sample_fold():
                                   0.05, (64, 128), mask=masks[ti])
         np.testing.assert_allclose(np.asarray(y_all[:, ti]),
                                    np.asarray(want), rtol=3e-4, atol=3e-4)
+
+
+def test_fast_path_exact_on_b1_backbone():
+    """d1-class backbones (two e=1 repeats of block 0) use the fold too:
+    unit-mask fast path == no-dropout forward."""
+    cfg = small_cfg(mc=False)
+    cfg.backbone_name = "efficientnet-b1"
+    model = EfficientDetNet(cfg)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 128, 256, 3), jnp.float32)
+    variables = init_vars(model)
+
+    cls_ref, box_ref = model.apply(variables, x, train=False)
+
+    from udal_tpu.models.mc_fast import folded_block0_all_samples
+    x0, x0m = mc_shared_prefix(variables, x, jnp.float32, pack=None)
+    c0 = x0.shape[-1]
+    y_all = folded_block0_all_samples(
+        variables, x0, x0m, jax.random.PRNGKey(0), 0.0, 1,
+        masks=jnp.ones((1, 1, c0), jnp.float32))
+    cls_fast, box_fast = model.apply(
+        variables, y_all[:, 0], False,
+        method=EfficientDetNet.forward_from_block1)
+    for a, b in zip(list(cls_ref) + list(box_ref),
+                    list(cls_fast) + list(box_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_eligibility_on_variants():
+    for name, want in [("efficientdet-d1", True),
+                       ("efficientdet-lite0", False)]:  # lite: no SE
+        cfg = small_cfg()
+        cfg.backbone_name = {"efficientdet-d1": "efficientnet-b1",
+                             "efficientdet-lite0": "efficientnet-lite0"}[name]
+        model = EfficientDetNet(cfg)
+        variables = init_vars(model)
+        assert fast_mc_eligible(cfg, variables) == want, name

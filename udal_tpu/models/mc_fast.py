@@ -73,8 +73,10 @@ def fast_mc_eligible(cfg, variables) -> bool:
         params = variables.get("params", {})
         if "backbone" not in params or "blocks_0" not in params["backbone"]:
             return False
-        # the composed fold also needs block 1's expand conv (e != 1)
-        if "expand_conv" not in params["backbone"].get("blocks_1", {}):
+        p0 = params["backbone"]["blocks_0"]
+        # v4 folds only block 0's tail: it must be an e=1 block (no expand
+        # conv — its depthwise is sample-shared) with SE and a 1x1 project
+        if "expand_conv" in p0 or "se" not in p0 or "project_conv" not in p0:
             return False
         if "batch_stats" not in variables:
             return False
