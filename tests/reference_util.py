@@ -3,13 +3,18 @@
 The reference (`/root/reference/src`) is TF-based; where its modules import
 cleanly under the installed TF we check our JAX implementations against it
 numerically. Tests must skip gracefully when a reference import fails.
+
+The stub machinery lives in `udal_tpu.utils.reference_compat` (it is also
+the product surface behind the `parity_kitti` runbook).
 """
 
 import sys
 
 import pytest
 
-REF_SRC = "/root/reference/src"
+from udal_tpu.utils.reference_compat import (REF_ROOT, REF_SRC,  # noqa: F401
+                                             add_reference_to_path,
+                                             stub_reference_deps)
 
 
 def import_reference(module_name: str):

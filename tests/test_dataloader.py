@@ -144,6 +144,65 @@ def test_prefetch_shard_selection(synth):
     assert len(names0 | names1) == 8
 
 
+def test_mp_loader_matches_single_process(synth):
+    """num_proc>0 workers replay the same RNG stream — the round-robin
+    merge is bit-identical to the single-process stream (eval + train)."""
+    path, _ = synth
+    cfg = _config()
+    ref = list(InputReader(path, is_training=False, prefetch=0)(
+        cfg, batch_size=2))
+    got = list(InputReader(path, is_training=False, prefetch=2,
+                           num_proc=2)(cfg, batch_size=2))
+    assert len(got) == len(ref) == 4
+    for (ri, rl), (gi, gl) in zip(ref, got):
+        np.testing.assert_array_equal(ri, gi)
+        np.testing.assert_array_equal(rl["cls_targets_3"],
+                                      gl["cls_targets_3"])
+
+    it_ref = InputReader(path, is_training=True, seed=5, prefetch=0)(
+        cfg, batch_size=2)
+    it_mp = InputReader(path, is_training=True, seed=5, prefetch=2,
+                        num_proc=2)(cfg, batch_size=2)
+    for _ in range(5):
+        ri, _ = next(it_ref)
+        gi, _ = next(it_mp)
+        np.testing.assert_array_equal(ri, gi)
+    it_mp.close()
+
+
+def test_fast_input_device_prep_matches_host_path(synth):
+    """fast_input (uint8 + compact gt) followed by the on-device
+    prepare_batch reproduces the classic host-built batch: identical anchor
+    targets, images equal up to uint8-resize rounding, pad region zeroed."""
+    import jax.numpy as jnp
+
+    from udal_tpu.train.train_lib import prepare_batch
+
+    path, _ = synth
+    cfg = _config()
+    classic = list(InputReader(path, is_training=False, prefetch=0)(
+        cfg, batch_size=2))
+    fast = list(InputReader(path, is_training=False, prefetch=0,
+                            fast_input=True)(cfg, batch_size=2))
+    for (ci, cl), (fi, fl) in zip(classic, fast):
+        assert fi.dtype == np.uint8
+        assert set(fl) >= {"gt_boxes", "gt_classes", "valid_hw"}
+        images, labels = prepare_batch(cfg, jnp.asarray(fi),
+                                       {k: jnp.asarray(v)
+                                        for k, v in fl.items()
+                                        if not isinstance(v, list)})
+        np.testing.assert_allclose(np.asarray(images), ci, atol=0.02)
+        # pad region (below valid_h) must be exactly zero, like the
+        # reference's normalize-then-pad order
+        vh = int(fl["valid_hw"][0, 0])
+        if vh < ci.shape[1]:
+            assert np.all(np.asarray(images)[0, vh:] == 0.0)
+        for k in ("cls_targets_3", "box_targets_3", "cls_targets_7",
+                  "mean_num_positives"):
+            np.testing.assert_allclose(np.asarray(labels[k]), cl[k],
+                                       atol=1e-5)
+
+
 def test_prefetch_propagates_producer_errors(tmp_path):
     cfg = _config()
     missing = str(tmp_path / "nope*.tfrecord")

@@ -11,6 +11,50 @@ from udal_tpu.ops.postprocess import postprocess_global
 pytestmark = pytest.mark.slow  # heavy model tier: compile-bound, run nightly
 
 
+def test_ensemble_product_path_end_to_end(tmp_path):
+    """BASELINE config #3 as a product capability: train two tiny members,
+    serve them through `ServingDriver.create_ensemble` (CLI
+    `inspect --ensemble_dirs`), and produce uncertainty artifacts."""
+    from udal_tpu import cli
+    from udal_tpu.apps.serving import ServingDriver
+    from udal_tpu.data.synthetic import write_synthetic_dataset
+
+    data = str(tmp_path / "train.tfrecord")
+    write_synthetic_dataset(data, num_images=4, height=64, width=64,
+                            num_classes=3, seed=0)
+    hparams = ("image_size=64,num_classes=4,save_freq=1,"
+               "mc_dropout=False,loss_attenuation=False")
+    dirs = []
+    for m in range(2):
+        d = str(tmp_path / f"member{m}")
+        cli.main(["train", "--train_file_pattern", data, "--model_dir", d,
+                  "--hparams", hparams, "--seed", str(m),
+                  "--batch_size", "2", "--num_epochs", "1",
+                  "--steps_per_epoch", "2"])
+        dirs.append(d)
+
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.override(hparams, allow_new_keys=True)
+    driver = ServingDriver.create_ensemble(cfg, dirs, batch_size=1)
+    assert driver.num_members == 2
+    imgs = (np.random.RandomState(0).rand(1, 64, 64, 3) * 255
+            ).astype(np.uint8)
+    det = driver.serve_detections(imgs)
+    assert det.sigma_mc is not None and det.sigma_cls is not None
+    assert np.all(np.isfinite(np.asarray(det.sigma_mc)))
+    # the two trained members disagree -> non-degenerate epistemic sigma
+    assert float(np.abs(np.asarray(det.sigma_mc)).max()) > 0
+
+    # CLI inference mode with --ensemble_dirs writes the artifacts
+    out = str(tmp_path / "ens_out")
+    cli.main(["inspect", "--mode", "inference", "--model_dir", "_",
+              "--hparams", hparams, "--ensemble_dirs", ",".join(dirs),
+              "--val_file_pattern", data, "--batch_size", "2",
+              "--output_dir", out])
+    import os
+    assert os.path.exists(os.path.join(out, "prediction_data.txt"))
+
+
 def test_ensemble_forward_and_fusion():
     cfg = get_detection_config("efficientdet-d0")
     cfg.image_size = 64

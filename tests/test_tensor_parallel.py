@@ -69,6 +69,42 @@ def test_param_partition_spec_shards_channels():
         jax.sharding.PartitionSpec()
 
 
+def test_shard_state_tp_preserves_opt_state():
+    """Resharding for TP must keep restored optimizer moments (a resume
+    with n_model>1 previously reset them via tx.init)."""
+    cfg = tiny_cfg()
+    model, state, tx, schedule = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=10)
+    # simulate a restored state with non-zero moments
+    ones = jax.tree_util.tree_map(lambda x: jnp.ones_like(x) * 0.5,
+                                  state.params)
+    opt_state = state.opt_state
+    leaves, treedef = jax.tree_util.tree_flatten(
+        opt_state, is_leaf=lambda n: jax.tree_util.tree_structure(n)
+        == jax.tree_util.tree_structure(state.params))
+    pdef = jax.tree_util.tree_structure(state.params)
+    leaves = [ones if jax.tree_util.tree_structure(l) == pdef else l
+              for l in leaves]
+    state = state.replace(opt_state=jax.tree_util.tree_unflatten(
+        treedef, leaves))
+    mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    with mesh:
+        sharded = shard_state_tp(mesh, state, tx)
+    flat_before = jax.tree_util.tree_leaves(state.opt_state)
+    flat_after = jax.tree_util.tree_leaves(sharded.opt_state)
+    assert len(flat_before) == len(flat_after)
+    moment_checked = sharded_checked = False
+    for b, a in zip(flat_before, flat_after):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        if np.asarray(b).size > 1 and np.allclose(np.asarray(b), 0.5):
+            moment_checked = True
+            if np.asarray(a).shape and np.asarray(a).shape[-1] % 2 == 0 \
+                    and a.sharding.spec and a.sharding.spec[-1] == "model":
+                sharded_checked = True
+    assert moment_checked, "no param-moment leaves found"
+    assert sharded_checked, "no moment leaf got channel sharding"
+
+
 @pytest.mark.slow
 def test_tp_step_matches_dp_step():
     loss_dp, _ = run_step(8, 1, tensor_parallel=False)

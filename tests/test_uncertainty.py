@@ -52,6 +52,49 @@ def test_nflow_equals_lnorm():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
 
 
+def test_nflow_matches_scipy_distribution_oracle():
+    """Independent numeric oracle for the n-flow closed form (VERDICT r2 #9).
+
+    The reference's n-flow builds TFP TransformedDistributions — Normal for
+    centers, anchor-scaled LogNormal for sizes (`/root/reference/src/
+    utils_box.py:186-245`). TFP is absent in this image, so the same
+    distributions are constructed with scipy.stats (an implementation this
+    repo does not share code with) and their exact mean/variance queried via
+    `stats.lognorm.stats` / `stats.norm.stats`; corners combine the two
+    independent coordinates. Must equal our analytic decode.
+    """
+    from scipy import stats
+
+    preds, stds, anchors = _setup(n=64)
+    boxes, sigma = unc.decode_uncert(preds, stds, anchors, method="n-flow")
+
+    ya = (anchors[:, 0] + anchors[:, 2]) / 2
+    xa = (anchors[:, 1] + anchors[:, 3]) / 2
+    ha = anchors[:, 2] - anchors[:, 0]
+    wa = anchors[:, 3] - anchors[:, 1]
+
+    # sizes: h = exp(N(th, dth)) * ha  ->  lognorm(s=dth, scale=exp(th)*ha)
+    mh, vh = stats.lognorm.stats(s=stds[:, 2], scale=np.exp(preds[:, 2]) * ha,
+                                 moments="mv")
+    mw, vw = stats.lognorm.stats(s=stds[:, 3], scale=np.exp(preds[:, 3]) * wa,
+                                 moments="mv")
+    # centers: yc = ya + N(ty, dty) * ha  ->  norm(ya + ty*ha, dty*ha)
+    myc, vyc = stats.norm.stats(loc=ya + preds[:, 0] * ha,
+                                scale=stds[:, 0] * ha, moments="mv")
+    mxc, vxc = stats.norm.stats(loc=xa + preds[:, 1] * wa,
+                                scale=stds[:, 1] * wa, moments="mv")
+
+    # corners from the two independent coordinates
+    exp_boxes = np.stack([myc - mh / 2, mxc - mw / 2,
+                          myc + mh / 2, mxc + mw / 2], axis=-1)
+    exp_sigma = np.sqrt(np.stack([vyc + vh / 4, vxc + vw / 4,
+                                  vyc + vh / 4, vxc + vw / 4], axis=-1))
+    np.testing.assert_allclose(np.asarray(boxes), exp_boxes,
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sigma), exp_sigma,
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_sample_method_converges_to_lnorm():
     preds, stds, anchors = _setup(n=100)
     b_cf, s_cf = unc.decode_uncert(preds, stds, anchors, method="l-norm")

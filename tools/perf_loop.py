@@ -1,0 +1,96 @@
+"""Shipped-train-loop throughput: `train_and_evaluate`, not a scan microbench.
+
+VERDICT r2 #3: the 170 img/s train number came from a `lax.scan` microbench
+(tools/perf_train.py) while the product loop paid a blocking host sync every
+step (~36 ms on the axon relay). The loop now keeps device-scalar references
+and syncs one stale result every `host_sync_every` steps
+(`udal_tpu/train/loop.py`). This measures the loop users actually run, at
+the d0 op point, from an in-memory batch (host input measured separately by
+tools/perf_e2e.py).
+
+Prints JSON: {"loop_img_per_s": ..., "epoch_s": [...]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=40, help="steps per epoch")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--image-size", default="1024x512")
+    ap.add_argument("--sync-every", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from udal_tpu.config import get_detection_config
+    from udal_tpu.data.labels import build_labels
+    from udal_tpu.train.loop import train_and_evaluate
+
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = args.image_size
+    cfg.num_classes = 8
+    cfg.loss_attenuation = True
+    cfg.num_epochs = args.epochs
+    cfg.save_freq = 10 ** 6          # no checkpoint IO in the timing
+    cfg.override({"batch_size": args.batch,
+                  "host_sync_every": args.sync_every}, allow_new_keys=True)
+
+    from udal_tpu.config import parse_image_size
+
+    h, w = parse_image_size(cfg.image_size)
+    rng = np.random.RandomState(0)
+    images = rng.randn(args.batch, h, w, 3).astype(np.float32)
+    gt_boxes = np.tile(np.asarray([[40.0, 40.0, 400.0, 400.0]], np.float32),
+                       (args.batch, 1, 1))
+    gt_classes = np.ones((args.batch, 1), np.int32)
+    labels = {k: np.asarray(v) for k, v in
+              build_labels(cfg, gt_boxes, gt_classes).items()}
+
+    def it():
+        while True:
+            # fresh numpy each step: H2D transfer is part of the loop cost
+            yield images + rng.randn() * 1e-3, labels
+
+    epoch_times = []
+    t_last = [time.perf_counter()]
+
+    def log(msg):
+        now = time.perf_counter()
+        epoch_times.append(now - t_last[0])
+        t_last[0] = now
+        print(msg, flush=True)
+
+    import tempfile
+
+    train_and_evaluate(cfg, it(), args.steps,
+                       tempfile.mkdtemp(prefix="perf_loop_"), log_fn=log)
+
+    # epoch 1 includes jit compile; steady state = later epochs
+    steady = epoch_times[1:] or epoch_times
+    img_per_s = args.steps * args.batch / min(steady)
+    print(json.dumps({"loop_img_per_s": round(img_per_s, 2),
+                      "epoch_s": [round(t, 2) for t in epoch_times],
+                      "sync_every": args.sync_every,
+                      "platform": jax.devices()[0].platform}))
+
+
+if __name__ == "__main__":
+    main()

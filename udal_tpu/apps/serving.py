@@ -41,9 +41,19 @@ class ServingDriver:
 
     def __init__(self, config: Config, variables: Any,
                  batch_size: int = 1, dtype=None,
-                 mc_seed: int = 0, use_pallas_nms: Optional[bool] = None):
+                 mc_seed: int = 0, use_pallas_nms: Optional[bool] = None,
+                 ensemble: bool = False):
+        """With ``ensemble=True``, `variables` is an N-member stacked pytree
+        (`models.ensemble.stack_variables`); `serve` runs all members in one
+        vmapped program and the postprocess fuses them with the MC-sample
+        semantics (mean boxes + epistemic box-variance, class entropy /
+        sigma) — BASELINE config #3. See `ServingDriver.create_ensemble`."""
         self.config = config
         self.batch_size = batch_size
+        self.ensemble = ensemble
+        if ensemble:
+            self.num_members = int(jax.tree_util.tree_leaves(
+                variables)[0].shape[0])
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         if use_pallas_nms is None:
             # the VMEM-resident kernel is the fast path on real TPUs;
@@ -78,12 +88,32 @@ class ServingDriver:
                 jnp.zeros((1, h, w, 3)), train=False))()
         return cls(config, variables, batch_size, **kwargs)
 
+    @classmethod
+    def create_ensemble(cls, config: Config, member_dirs, batch_size: int = 1,
+                        use_ema: bool = True, **kwargs) -> "ServingDriver":
+        """Deep-ensemble driver from N member checkpoint directories.
+
+        BASELINE config #3 as a product path: each member's (EMA) weights
+        restore from its own orbax model_dir, stack on a leading axis, and
+        serve as one vmapped program; fusion (mean boxes, box-variance as
+        epistemic sigma, class entropy) reuses the MC-sample reductions
+        (reference semantics `/root/reference/src/postprocess.py:326-331`,
+        `src/utils_extra.py:220-244` — the reference itself has no ensemble).
+        """
+        stacked = load_ensemble_variables(config, member_dirs,
+                                          use_ema=use_ema)
+        return cls(config, stacked, batch_size, ensemble=True, **kwargs)
+
     # -- core program --------------------------------------------------------
 
     def _forward(self, variables, images, key):
         cfg = self.config
-        if cfg.mc_dropout and (cfg.mc_dropoutrate or cfg.mc_classheadrate or
-                               cfg.mc_boxheadrate):
+        if self.ensemble:
+            from udal_tpu.models.ensemble import ensemble_forward
+
+            cls_s, box_s = ensemble_forward(self.model, variables, images)
+        elif cfg.mc_dropout and (cfg.mc_dropoutrate or cfg.mc_classheadrate or
+                                 cfg.mc_boxheadrate):
             cls_s, box_s = mc_forward(self.model, variables, images, key,
                                       cfg.mc_dropoutsamp)
         else:
@@ -157,23 +187,40 @@ class ServingDriver:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         cfg = self.config
+        n_data = mesh.shape["data"]
+        n_samples = self.num_members if self.ensemble \
+            else int(cfg.mc_dropoutsamp)
+        if n_samples % n_data != 0:
+            raise ValueError(
+                f"serve_sample_parallel requires the sample axis "
+                f"({n_samples}) divisible by the mesh 'data' axis "
+                f"({n_data})")
         repl = NamedSharding(mesh, P())
         sample = NamedSharding(mesh, P("data"))
 
-        def impl(variables, raw_images, key):
-            images, scales = preprocess_images(raw_images, cfg.image_size,
-                                               cfg.mean_rgb, cfg.stddev_rgb)
-            images = images.astype(self.model.dtype)
-            cls_s, box_s = self._forward(variables, images, key)
-            con = lambda t: jax.lax.with_sharding_constraint(t, sample)
-            cls_s = [con(t) for t in cls_s]
-            box_s = [con(t) for t in box_s]
-            det = postprocess_global(cfg, cls_s, box_s, image_scales=scales,
-                                     use_pallas_nms=self.use_pallas_nms)
-            return det.packed()
+        fn = getattr(self, "_sample_parallel_fns", {}).get(id(mesh))
+        if fn is None:
+            def impl(variables, raw_images, key):
+                images, scales = preprocess_images(raw_images, cfg.image_size,
+                                                   cfg.mean_rgb,
+                                                   cfg.stddev_rgb)
+                images = images.astype(self.model.dtype)
+                cls_s, box_s = self._forward(variables, images, key)
+                con = lambda t: jax.lax.with_sharding_constraint(t, sample)
+                cls_s = [con(t) for t in cls_s]
+                box_s = [con(t) for t in box_s]
+                det = postprocess_global(cfg, cls_s, box_s,
+                                         image_scales=scales,
+                                         use_pallas_nms=self.use_pallas_nms)
+                return det.packed()
+
+            fn = jax.jit(impl, in_shardings=(repl, repl, repl))
+            self._sample_parallel_fns = getattr(
+                self, "_sample_parallel_fns", {})
+            # cache per mesh so repeat calls reuse the compiled program
+            self._sample_parallel_fns[id(mesh)] = fn
 
         self._mc_key, sub = jax.random.split(self._mc_key)
-        fn = jax.jit(impl, in_shardings=(repl, repl, repl))
         with mesh:
             variables = jax.device_put(self.variables, repl)
             return fn(variables, jax.device_put(
@@ -249,6 +296,31 @@ class ServingDriver:
         return {"latency_ms": dt * 1e3, "fps": fps}
 
 
+def load_ensemble_variables(config: Config, member_dirs,
+                            use_ema: bool = True):
+    """Restore N members' variables and stack them for `ensemble_forward`.
+
+    Accepts orbax model_dirs (each trained independently, e.g. with
+    different seeds via ``udal_tpu.cli train``); EMA weights are swapped in
+    when present, mirroring the reference's checkpoint restore
+    (`/root/reference/src/utils_keras.py:125-235`).
+    """
+    from udal_tpu.models.ensemble import stack_variables
+    from udal_tpu.train.train_lib import create_train_state
+    from udal_tpu.utils.checkpoint import restore_checkpoint, swap_in_ema
+
+    _, template, _, _ = create_train_state(config, jax.random.PRNGKey(0), 1)
+    members = []
+    for d in member_dirs:
+        state, epoch = restore_checkpoint(d, template)
+        if epoch == 0:
+            raise FileNotFoundError(f"no checkpoint in ensemble member {d}")
+        members.append(swap_in_ema(state) if use_ema
+                       else {"params": state.params,
+                             "batch_stats": state.batch_stats})
+    return stack_variables(members)
+
+
 def load_exported(path: str):
     """Deserialize a StableHLO serving artifact back into a callable."""
     from jax import export as jexport
@@ -275,8 +347,9 @@ def quantize_weights_int8(variables: Any) -> Tuple[Any, Any]:
     TPU-native analogue of the reference's TFLite INT8 post-training
     quantization export (`/root/reference/src/infer_lib.py:543-596`):
     kernels are stored int8 with per-output-channel scales; biases, BN
-    parameters and statistics stay float. Use :func:`dequantize_weights`
-    (or ``ServingDriver`` with ``quantized=(q, scales)``) to serve.
+    parameters and statistics stay float. Serve via
+    :func:`dequantize_weights` (weight-only) or the full W8A8 path
+    :func:`serve_quantized_int8` with :func:`calibrate_activations_int8`.
 
     Returns (quantized_variables, scales_tree) — same tree structure, with
     kernel leaves int8 and scale leaves [C_out] float32 (non-kernel leaves
@@ -305,6 +378,104 @@ def quantize_weights_int8(variables: Any) -> Tuple[Any, Any]:
     return (jax.tree_util.tree_unflatten(treedef, qs),
             jax.tree_util.tree_unflatten(
                 treedef, [s if s is not None else () for s in scales]))
+
+
+def calibrate_activations_int8(config: Config, variables: Any,
+                               rep_images, dtype=jnp.float32) -> Dict:
+    """Per-conv-input activation scales from a representative batch.
+
+    The activation half of the reference's TFLite INT8 post-training
+    quantization (`/root/reference/src/infer_lib.py:543-596`: converter
+    with a representative-dataset generator). Runs one (eager) forward over
+    the representative images with a flax method interceptor recording the
+    absolute-max input range of every Conv/Dense call.
+
+    Returns {module_path: float_scale} mapping for
+    :func:`serve_quantized_int8`.
+    """
+    import flax.linen as nn
+
+    model = EfficientDetNet(config, dtype=dtype)
+
+    def calib_fn(variables, raw):
+        images, _ = preprocess_images(raw, config.image_size,
+                                      config.mean_rgb, config.stddev_rgb)
+        amaxes: Dict[str, jnp.ndarray] = {}
+
+        def interceptor(next_fun, args, kwargs, context):
+            if isinstance(context.module, (nn.Conv, nn.Dense)) and args and \
+                    context.method_name == "__call__":
+                path = "/".join(str(p) for p in context.module.path)
+                amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                prev = amaxes.get(path)
+                amaxes[path] = amax if prev is None else jnp.maximum(prev,
+                                                                     amax)
+            return next_fun(*args, **kwargs)
+
+        # the interceptor records tracer values during tracing; returning
+        # them makes the whole calibration one compiled program
+        with nn.intercept_methods(interceptor):
+            model.apply(variables, images.astype(dtype), train=False)
+        return amaxes
+
+    amaxes = jax.jit(calib_fn)(variables, jnp.asarray(rep_images))
+    return {k: max(float(v), 1e-12) / 127.0 for k, v in amaxes.items()}
+
+
+def make_int8_interceptor(act_scales: Dict):
+    """Flax interceptor fake-quantizing every Conv/Dense input to INT8 with
+    the calibrated per-tensor scales (symmetric). Traced into the jitted
+    program, so the quantization error it simulates is exactly the W8A8
+    numeric path."""
+    import flax.linen as nn
+
+    def interceptor(next_fun, args, kwargs, context):
+        if isinstance(context.module, (nn.Conv, nn.Dense)) and args:
+            path = "/".join(str(p) for p in context.module.path)
+            s = act_scales.get(path)
+            if s is not None and context.method_name == "__call__":
+                x = args[0]
+                q = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                             -127, 127)
+                args = (q.astype(jnp.float32) * s,) + args[1:]
+                args = (args[0].astype(x.dtype),) + args[1:]
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def serve_quantized_int8(config: Config, variables: Any, act_scales: Dict,
+                         raw_images, dtype=jnp.float32):
+    """Full W8A8 simulated INT8 serve: int8 per-channel weights
+    (:func:`quantize_weights_int8`) + calibrated int8 activations, through
+    the standard uncertainty postprocess. Returns a `Detections`.
+
+    On v5e the throughput path stays bf16 (the MXU has no int8 speedup for
+    these conv shapes worth the relayout); this path exists to *measure*
+    what the reference's INT8 export costs in accuracy — see
+    tests/test_int8_quant.py and docs/PERF_ANALYSIS.md.
+    """
+    import flax.linen as nn
+
+    from udal_tpu.ops.postprocess import postprocess_global
+
+    q, scales = quantize_weights_int8(variables)
+    model = EfficientDetNet(config, dtype=dtype)
+    interceptor = make_int8_interceptor(act_scales)
+
+    @jax.jit
+    def run(qvars, raw):
+        variables = dequantize_weights(qvars, scales, dtype=None)
+        images, img_scales = preprocess_images(raw, config.image_size,
+                                               config.mean_rgb,
+                                               config.stddev_rgb)
+        with nn.intercept_methods(interceptor):
+            cls_s, box_s = model.apply(variables, images.astype(dtype),
+                                       train=False)
+        return postprocess_global(config, list(cls_s), list(box_s),
+                                  image_scales=img_scales)
+
+    return run(q, jnp.asarray(raw_images))
 
 
 def dequantize_weights(quantized: Any, scales: Any, dtype=None) -> Any:

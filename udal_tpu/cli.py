@@ -73,7 +73,9 @@ def cmd_train(args) -> None:
     config = _load_config(args)
     reader = InputReader(args.train_file_pattern, is_training=True,
                          use_fake_data=args.use_fake_data,
-                         max_instances_per_image=config.max_instances_per_image)
+                         max_instances_per_image=config.max_instances_per_image,
+                         fast_input=args.fast_input,
+                         num_proc=args.input_procs)
     steps = args.steps_per_epoch or max(
         1, args.num_examples_per_epoch // args.batch_size)
     train_iter = reader(config, args.batch_size)
@@ -91,8 +93,11 @@ def cmd_train(args) -> None:
         config.override({"n_model": args.n_model}, allow_new_keys=True)
     os.makedirs(args.model_dir, exist_ok=True)
     config.save_to_yaml(os.path.join(args.model_dir, "config.yaml"))
+    import jax
+
     train_and_evaluate(config, train_iter, steps, args.model_dir,
-                       val_iter_fn=val_iter_fn, val_steps=val_steps)
+                       val_iter_fn=val_iter_fn, val_steps=val_steps,
+                       rng=jax.random.PRNGKey(args.seed))
 
 
 def cmd_train_ssl(args) -> None:
@@ -252,14 +257,21 @@ def cmd_inspect(args) -> None:
 
     _apply_config_file(args)
     config = _load_config(args)
-    variables = None
-    if getattr(args, "tf_checkpoint", None) or \
-            (args.model_dir and args.model_dir != "_"):
-        variables = _restore_variables(args, config)
-    driver = ServingDriver(config, variables, batch_size=args.batch_size) \
-        if variables is not None else \
-        ServingDriver.create(args.model_name, batch_size=args.batch_size,
-                             overrides=dict(config.as_dict()))
+    if getattr(args, "ensemble_dirs", None):
+        # deep-ensemble serving (BASELINE config #3): N member model_dirs
+        member_dirs = [d for d in args.ensemble_dirs.split(",") if d]
+        driver = ServingDriver.create_ensemble(config, member_dirs,
+                                               batch_size=args.batch_size)
+    else:
+        variables = None
+        if getattr(args, "tf_checkpoint", None) or \
+                (args.model_dir and args.model_dir != "_"):
+            variables = _restore_variables(args, config)
+        driver = ServingDriver(config, variables,
+                               batch_size=args.batch_size) \
+            if variables is not None else \
+            ServingDriver.create(args.model_name, batch_size=args.batch_size,
+                                 overrides=dict(config.as_dict()))
 
     if args.mode == "export":
         path = driver.export(args.output_dir or
@@ -401,6 +413,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--n_model", type=int, default=1,
                    help="tensor-parallel width of the device mesh "
                         "('model' axis; conv channels shard via GSPMD)")
+    t.add_argument("--seed", type=int, default=0,
+                   help="init/dropout PRNG seed (vary per deep-ensemble "
+                        "member)")
+    t.add_argument("--fast_input", action="store_true",
+                   help="uint8 H2D + on-device normalize/anchor-labeling "
+                        "(cuts host work to decode+augment+resize)")
+    t.add_argument("--input_procs", type=int, default=0,
+                   help="input worker processes (0 = in-process thread)")
     t.set_defaults(fn=cmd_train)
 
     ts = sub.add_parser("train_ssl")
@@ -436,8 +456,31 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--output_dir", default=None)
     i.add_argument("--calib_dir", default=None)
     i.add_argument("--opt_thrs_path", default=None)
+    i.add_argument("--ensemble_dirs", default=None,
+                   help="comma-separated member model_dirs: serve them as a "
+                        "deep ensemble (mean boxes, box-variance epistemic "
+                        "sigma, class entropy fusion)")
     i.set_defaults(fn=cmd_inspect)
+
+    pk = sub.add_parser("parity_kitti",
+                        help="real-data mAP/ECE parity table vs the "
+                             "reference (see udal_tpu/apps/parity.py)")
+    pk.add_argument("--val_tfrecord", required=True)
+    pk.add_argument("--tf_checkpoint", required=True)
+    pk.add_argument("--hparams", default=None)
+    pk.add_argument("--batch_size", type=int, default=8)
+    pk.add_argument("--skip_reference", action="store_true")
+    pk.add_argument("--out", default=None)
+    pk.set_defaults(fn=cmd_parity_kitti)
     return p
+
+
+def cmd_parity_kitti(args) -> None:
+    from udal_tpu.apps import parity
+
+    if args.hparams is None:
+        args.hparams = parity.DEFAULT_HPARAMS
+    parity.run(args)
 
 
 def main(argv=None) -> None:

@@ -187,7 +187,9 @@ class InputReader:
                  names: bool = False, num_workers: int = 8, seed: int = 0,
                  prefetch: int = 2, device_put: bool = False,
                  shard_id: Optional[int] = None,
-                 num_shards: Optional[int] = None):
+                 num_shards: Optional[int] = None,
+                 fast_input: bool = False,
+                 num_proc: int = 0):
         """Args beyond the reference contract (``dataloader.py:251-268``):
 
         prefetch: depth of the background producer queue. Batches are
@@ -201,6 +203,18 @@ class InputReader:
           the strided subset ``records[shard_id::num_shards]`` (replaces
           ``input_context.shard``, `/root/reference/src/dataloader.py:508-511`).
           Default: `jax.process_index()` / `jax.process_count()`.
+        fast_input: host emits resized **uint8** images (4x less H2D
+          traffic; normalization + padding-region zeroing move on-device)
+          and **compact groundtruth** (gt_boxes/gt_classes/valid_hw) instead
+          of per-level anchor targets — target assignment then runs inside
+          the jitted train step (`train_lib.prepare_batch`). Cuts host work
+          per image to decode+augment+resize.
+        num_proc: > 0 runs that many *worker processes*, each decoding/
+          augmenting its round-robin share of batches (the tf.data
+          `num_parallel_calls` analog, `/root/reference/src/dataloader.py:
+          487-526`, but process-parallel so numpy/cv2 scale past the GIL).
+          Workers replay the same RNG stream, so batch content is identical
+          to single-process mode. 0 = in-process producer thread only.
         """
         self._file_pattern = file_pattern
         self._is_training = is_training
@@ -213,6 +227,8 @@ class InputReader:
         self._device_put = device_put
         self._shard_id = shard_id
         self._num_shards = num_shards
+        self._fast_input = fast_input
+        self._num_proc = num_proc
         self._index: Optional[tfr.TFRecordIndex] = None
         # consumer-side starvation accounting (seconds blocked on the queue
         # vs total); read via `wait_stats()` after/while iterating
@@ -264,8 +280,18 @@ class InputReader:
             scale, sh, sw = scale_factors_to_output(h, w, output_size)
             oy = ox = 0
 
-        img_norm = normalize_image(image, config.mean_rgb, config.stddev_rgb)
-        img_out = resize_and_crop(img_norm, sh, sw, oy, ox, output_size)
+        if self._fast_input:
+            # uint8 all the way: normalization (affine) commutes with the
+            # linear resize, so it moves on-device (train_lib.prepare_batch)
+            # together with zeroing the pad region recorded in valid_hw
+            img_out = resize_and_crop(image, sh, sw, oy, ox, output_size)
+            valid_hw = (min(sh - oy, output_size[0]),
+                        min(sw - ox, output_size[1]))
+        else:
+            img_norm = normalize_image(image, config.mean_rgb,
+                                       config.stddev_rgb)
+            img_out = resize_and_crop(img_norm, sh, sw, oy, ox, output_size)
+            valid_hw = None
         boxes, classes, extras = resize_and_crop_boxes(
             boxes, classes, h, w, sh, sw, oy, ox, output_size,
             pseudo=ex.pseudo_scores)
@@ -282,7 +308,7 @@ class InputReader:
             pseudo_p = -np.ones((m,), np.float32)
             pseudo_p[:n] = pseudo[:n]
         return (img_out, boxes_p, classes_p, pseudo_p, 1.0 / scale,
-                ex.source_id, ex.filename)
+                ex.source_id, ex.filename, valid_hw)
 
     def __call__(self, config, batch_size: int) -> Iterator:
         """Yield (images, labels) batches; labels include per-level targets,
@@ -290,8 +316,32 @@ class InputReader:
 
         With ``prefetch > 0`` batches are produced by a background thread
         into a bounded queue (and optionally device_put there), so the
-        consumer's wait time is ~0 when compute is the bottleneck."""
+        consumer's wait time is ~0 when compute is the bottleneck. With
+        ``num_proc > 0`` the decode/augment work itself additionally runs in
+        that many worker processes (`udal_tpu.data.mp_loader`)."""
+        source = None
+        if self._num_proc > 0 and not self._use_fake_data:
+            from udal_tpu.data.mp_loader import MultiProcessProducer
+
+            if self._shard_id is None and self._num_shards is None:
+                # resolve per-host sharding in the parent: forked workers
+                # must never initialize a JAX backend themselves
+                try:
+                    import jax
+                    self._shard_id = jax.process_index()
+                    self._num_shards = jax.process_count()
+                except Exception:  # noqa: BLE001 - no jax runtime
+                    self._shard_id, self._num_shards = 0, 1
+            source = MultiProcessProducer(self, config, batch_size,
+                                          num_proc=self._num_proc,
+                                          prefetch=max(1, self._prefetch))
         if self._prefetch <= 0:
+            if source is not None:
+                try:
+                    yield from source
+                finally:
+                    source.close()
+                return
             yield from self._batches(config, batch_size)
             return
 
@@ -301,7 +351,9 @@ class InputReader:
 
         def producer():
             try:
-                for batch in self._batches(config, batch_size):
+                src = source if source is not None \
+                    else self._batches(config, batch_size)
+                for batch in src:
                     if self._device_put:
                         import jax
                         images, labels = batch
@@ -342,11 +394,15 @@ class InputReader:
                 yield item
         finally:
             stop.set()
+            if source is not None:
+                source.close()
 
-    def _batches(self, config, batch_size: int) -> Iterator:
-        """Synchronous batch generator (the producer body)."""
-        index = self._get_index()
-        order = np.arange(len(index))
+    def num_batches_per_epoch(self, batch_size: int) -> int:
+        n = len(self._sharded_order())
+        return max(0, n // batch_size)
+
+    def _sharded_order(self) -> np.ndarray:
+        order = np.arange(len(self._get_index()))
         if self._shard_id is not None or self._num_shards is not None:
             shard_id, num_shards = self._shard_id or 0, self._num_shards or 1
         else:
@@ -357,10 +413,33 @@ class InputReader:
                 shard_id, num_shards = 0, 1
         if num_shards > 1:
             order = order[shard_id::num_shards]
+        return order
+
+    def _batches(self, config, batch_size: int, wid: int = 0,
+                 nproc: int = 1, host_labels: Optional[bool] = None
+                 ) -> Iterator:
+        """Synchronous batch generator (the producer body).
+
+        With ``nproc > 1`` this is one worker's view: every worker replays
+        the identical RNG stream (shuffles + per-batch seeds) but processes
+        and yields only the batches whose global sequence number is
+        ``wid (mod nproc)`` — so the round-robin merge of all workers is
+        bit-identical to the single-worker stream.
+
+        ``host_labels=False`` emits compact groundtruth instead of built
+        per-level targets even without fast_input — used by worker
+        *processes*, which must stay JAX-free (the jitted `build_labels`
+        cannot run in a forked child); the parent finalizes the labels.
+        """
+        if host_labels is None:
+            host_labels = not self._fast_input and nproc == 1
+        index = self._get_index()
+        order = self._sharded_order()
         rng = np.random.RandomState(self._seed)
         epoch = 0
         pool = futures.ThreadPoolExecutor(self._num_workers)
         fake_batch = None
+        seq = 0
 
         while True:
             if self._is_training:
@@ -371,6 +450,10 @@ class InputReader:
                     continue
                 idxs = order[start:start + batch_size]
                 seeds = [int(rng.randint(1 << 31)) for _ in idxs]
+                mine = seq % nproc == wid
+                seq += 1
+                if not mine:
+                    continue
                 results = list(pool.map(
                     lambda iv: self._process(index[iv[0]], config,
                                              np.random.RandomState(iv[1])),
@@ -380,8 +463,20 @@ class InputReader:
                 gt_classes = np.stack([r[2] for r in results])
                 pseudo = (np.stack([r[3] for r in results])
                           if results[0][3] is not None else None)
-                labels = build_labels(config, gt_boxes, gt_classes, pseudo)
-                labels = {k: np.asarray(v) for k, v in labels.items()}
+                if self._fast_input or not host_labels:
+                    # compact labels; anchor targets are built on-device
+                    # inside the jitted step (train_lib.prepare_batch) or,
+                    # for mp-produced classic batches, by the parent
+                    labels = {"gt_boxes": gt_boxes, "gt_classes": gt_classes}
+                    if self._fast_input:
+                        labels["valid_hw"] = np.asarray(
+                            [r[7] for r in results], np.int32)
+                    if pseudo is not None:
+                        labels["gt_pseudo"] = pseudo
+                else:
+                    labels = build_labels(config, gt_boxes, gt_classes,
+                                          pseudo)
+                    labels = {k: np.asarray(v) for k, v in labels.items()}
                 labels["image_scales"] = np.asarray([r[4] for r in results],
                                                     np.float32)
                 labels["source_ids"] = [r[5] for r in results]

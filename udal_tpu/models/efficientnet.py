@@ -375,8 +375,12 @@ class EfficientNet(nn.Module):
             # replay the reduction bookkeeping for skipped blocks
             if (idx == n - 1) or (expanded[idx + 1].strides[0] > 1):
                 reduction_idx += 1
+                # with start_in_expanded, `x` is the *expanded* tensor of
+                # the entry block, not the previous block's output — record
+                # None rather than a wrong-channel endpoint
                 endpoints[f"reduction_{reduction_idx}"] = (
-                    x if idx == start_block - 1 else None)
+                    x if idx == start_block - 1 and not start_in_expanded
+                    else None)
         for idx, a in enumerate(expanded):
             if idx < start_block:
                 continue

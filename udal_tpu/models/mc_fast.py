@@ -62,11 +62,15 @@ def fast_mc_eligible(cfg, variables) -> bool:
             return False
         if cfg.backbone_name not in ("efficientnet-b0",):
             # the fold itself generalizes to any e=1 first block; gate to
-            # configurations covered by the parity tests
+            # configurations covered by the parity tests. The residual case
+            # (id_skip with matching filters) is excluded: the fold emits
+            # block-0's bn2 output without the skip add.
             spec = backbone_spec(cfg.backbone_name)
             b0 = spec.blocks[0]
             if not (b0.expand_ratio == 1 and b0.strides == (1, 1)
-                    and spec.use_se):
+                    and spec.use_se
+                    and not (b0.id_skip
+                             and b0.input_filters == b0.output_filters)):
                 return False
         if cfg.act_type not in ("swish", "silu", "swish_native"):
             return False
@@ -85,15 +89,15 @@ def fast_mc_eligible(cfg, variables) -> bool:
         return False
 
 
-def _bn_affine(params, stats, dtype):
+def _bn_affine(params, stats, dtype, eps: float = 1e-3):
     """Inference BatchNorm as (scale, bias) in f32, castable to `dtype`."""
-    eps = 1e-3
     scale = params["scale"] / jnp.sqrt(stats["var"] + eps)
     bias = params["bias"] - stats["mean"] * scale
     return scale.astype(dtype), bias.astype(dtype)
 
 
-def mc_shared_prefix(variables, images: jnp.ndarray, dtype, pack: int = PACK
+def mc_shared_prefix(variables, images: jnp.ndarray, dtype, pack: int = PACK,
+                     eps: float = 1e-3
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """stem conv/bn/act + block-0 depthwise/bn/act, computed once at batch B.
 
@@ -109,7 +113,8 @@ def mc_shared_prefix(variables, images: jnp.ndarray, dtype, pack: int = PACK
     k = p["stem_conv"]["kernel"].astype(dtype)
     x = jax.lax.conv_general_dilated(
         x, k, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    scale, bias = _bn_affine(p["stem_bn"]["bn"], s["stem_bn"]["bn"], dtype)
+    scale, bias = _bn_affine(p["stem_bn"]["bn"], s["stem_bn"]["bn"], dtype,
+                             eps)
     x = act(x * scale + bias)
 
     kd = p["blocks_0"]["depthwise_conv"]["kernel"].astype(dtype)
@@ -118,7 +123,7 @@ def mc_shared_prefix(variables, images: jnp.ndarray, dtype, pack: int = PACK
         x, kd, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c0)
     scale, bias = _bn_affine(p["blocks_0"]["bn1"]["bn"],
-                             s["blocks_0"]["bn1"]["bn"], dtype)
+                             s["blocks_0"]["bn1"]["bn"], dtype, eps)
     x0 = act(x * scale + bias)
 
     b, h, w, _ = x0.shape
@@ -132,7 +137,8 @@ def mc_shared_prefix(variables, images: jnp.ndarray, dtype, pack: int = PACK
 def folded_block0_tail(variables, x0_packed: jnp.ndarray,
                        x0_mean: jnp.ndarray, key: jax.Array,
                        rate: float, out_hw: Tuple[int, int],
-                       mask: jnp.ndarray = None) -> jnp.ndarray:
+                       mask: jnp.ndarray = None,
+                       eps: float = 1e-3) -> jnp.ndarray:
     """Per-sample block-0 tail as one batched packed matmul.
 
     Returns block-1 input [B, H, W, C_out] (NHWC). `mask` overrides the
@@ -160,7 +166,8 @@ def folded_block0_tail(variables, x0_packed: jnp.ndarray,
     # identity 2: project(σ ⊙ x0) = x0 @ (diag(σ)·W); bn2 scale folds in
     sigma = (sig * mask)  # [B, C0] f32
     wp = p0["project_conv"]["kernel"][0, 0].astype(jnp.float32)  # [C0, Co]
-    bscale, bbias = _bn_affine(p0["bn2"]["bn"], s0["bn2"]["bn"], jnp.float32)
+    bscale, bbias = _bn_affine(p0["bn2"]["bn"], s0["bn2"]["bn"], jnp.float32,
+                               eps)
     w = sigma[:, :, None] * (wp * bscale[None, :])        # [B, C0, Co]
     co = wp.shape[-1]
 
@@ -182,7 +189,8 @@ def folded_block0_block1_expand(variables, x0_packed: jnp.ndarray,
                                 rate: float, out_hw: Tuple[int, int],
                                 pack: int = 4,
                                 mask2: jnp.ndarray = None,
-                                mask1: jnp.ndarray = None) -> jnp.ndarray:
+                                mask1: jnp.ndarray = None,
+                                eps: float = 1e-3) -> jnp.ndarray:
     """Block-0 tail ⊕ block-1 expand as ONE batched packed matmul.
 
     Between block 0's bn2 output and block 1's expand conv there is no
@@ -219,9 +227,9 @@ def folded_block0_block1_expand(variables, x0_packed: jnp.ndarray,
 
     # per-sample composed weight: diag(σ)·W_proj·diag(bn2_s)·E·diag(bn0_s)
     wp = p0["project_conv"]["kernel"][0, 0].astype(jnp.float32)   # [C0, Cn]
-    b2s, b2b = _bn_affine(p0["bn2"]["bn"], s0["bn2"]["bn"], jnp.float32)
+    b2s, b2b = _bn_affine(p0["bn2"]["bn"], s0["bn2"]["bn"], jnp.float32, eps)
     ex = p1["expand_conv"]["kernel"][0, 0].astype(jnp.float32)    # [Cn, Ce]
-    b0s, b0b = _bn_affine(p1["bn0"]["bn"], s1["bn0"]["bn"], jnp.float32)
+    b0s, b0b = _bn_affine(p1["bn0"]["bn"], s1["bn0"]["bn"], jnp.float32, eps)
     a_static = (wp * b2s[None, :]) @ (ex * b0s[None, :])          # [C0, Ce]
     w = sigma[:, :, None] * a_static[None]                        # [B, C0, Ce]
     bias = b2b @ (ex * b0s[None, :]) + b0b                        # [Ce]
@@ -247,7 +255,8 @@ def folded_block0_block1_expand(variables, x0_packed: jnp.ndarray,
 def folded_block0_all_samples(variables, x0: jnp.ndarray,
                               x0_mean: jnp.ndarray, key: jax.Array,
                               rate: float, num_samples: int,
-                              masks: jnp.ndarray = None) -> jnp.ndarray:
+                              masks: jnp.ndarray = None,
+                              eps: float = 1e-3) -> jnp.ndarray:
     """Block-0 tail for ALL samples as ONE dot with t a free rhs dim.
 
     y[b, t, h, w, d] = Σ_c x0[b, h, w, c] · Wfold[b, t, c, d] — the shared
@@ -275,7 +284,8 @@ def folded_block0_all_samples(variables, x0: jnp.ndarray,
     sigma = jax.nn.sigmoid(se.astype(jnp.float32)) * masks   # [T, B, C0]
 
     wp = p0["project_conv"]["kernel"][0, 0].astype(jnp.float32)  # [C0, Co]
-    bscale, bbias = _bn_affine(p0["bn2"]["bn"], s0["bn2"]["bn"], jnp.float32)
+    bscale, bbias = _bn_affine(p0["bn2"]["bn"], s0["bn2"]["bn"], jnp.float32,
+                               eps)
     wfold = sigma[..., None] * (wp * bscale[None, :])        # [T, B, C0, Co]
     wfold = jnp.swapaxes(wfold, 0, 1).astype(dtype)          # [B, T, C0, Co]
 
@@ -295,10 +305,13 @@ def mc_forward_fast(model, variables, images: jnp.ndarray, key: jax.Array,
     """
     cfg = model.config
     dtype = model.dtype
-    x0, x0_mean = mc_shared_prefix(variables, images, dtype, pack=None)
+    eps = backbone_spec(cfg.backbone_name).bn_epsilon
+    x0, x0_mean = mc_shared_prefix(variables, images, dtype, pack=None,
+                                   eps=eps)
     k0, k1 = jax.random.split(key)
     y_all = folded_block0_all_samples(variables, x0, x0_mean, k0,
-                                      cfg.mc_dropoutrate, num_samples)
+                                      cfg.mc_dropoutrate, num_samples,
+                                      eps=eps)
     keys = jax.random.split(k1, num_samples)
 
     def one_pass(x1, k):

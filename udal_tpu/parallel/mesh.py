@@ -83,8 +83,10 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     Returns a summary dict (process index/count, local/global devices).
     """
-    if jax.process_count() == 1 and (num_processes or 1) > 1 or \
-            coordinator_address is not None:
+    if coordinator_address is not None or (num_processes or 1) > 1:
+        # NOTE: must not touch jax.devices()/process_count() first — any
+        # backend-initializing call before jax.distributed.initialize makes
+        # it unusable (covered by tests/test_multihost.py)
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
@@ -192,16 +194,40 @@ def shard_params_tp(mesh: Mesh, tree):
     return jax.tree_util.tree_map_with_path(put, tree)
 
 
-def shard_state_tp(mesh: Mesh, state, tx):
+def shard_opt_state_tp(mesh: Mesh, opt_state, params):
+    """device_put an optax state with param-moment subtrees channel-sharded.
+
+    Subtrees structurally identical to `params` (Adam mu/nu, momentum trace,
+    …) get the same per-leaf channel sharding as the params; everything else
+    (counts, EmptyState, schedule states) is replicated. Preserves restored
+    optimizer moments across a tensor-parallel reshard instead of resetting
+    them with tx.init."""
+    pdef = jax.tree_util.tree_structure(params)
+
+    def param_like(node):
+        try:
+            return jax.tree_util.tree_structure(node) == pdef
+        except Exception:  # noqa: BLE001 - unhashable/odd node
+            return False
+
+    def put(node):
+        if param_like(node):
+            return shard_params_tp(mesh, node)
+        return jax.device_put(node, replicated(mesh))
+
+    return jax.tree_util.tree_map(put, opt_state, is_leaf=param_like)
+
+
+def shard_state_tp(mesh: Mesh, state, tx=None):
     """Shard a TrainState for data x model SPMD: params/batch_stats/EMA get
-    channel sharding; the optimizer state is re-initialized from the
-    sharded params so its moment pytrees inherit the same layout."""
+    channel sharding; the optimizer state keeps its (possibly restored)
+    values, resharded so its moment pytrees inherit the param layout."""
     params = shard_params_tp(mesh, state.params)
     return state.replace(
         step=jax.device_put(state.step, replicated(mesh)),
         params=params,
         batch_stats=shard_params_tp(mesh, state.batch_stats),
-        opt_state=tx.init(params),
+        opt_state=shard_opt_state_tp(mesh, state.opt_state, state.params),
         ema_params=(shard_params_tp(mesh, state.ema_params)
                     if state.ema_params is not None else None),
     )

@@ -102,6 +102,16 @@ def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
                                     os.path.join(model_dir, "logs"),
                                     label_map=lmap)
 
+    # Per-step host syncs serialize dispatch (each float() blocks on the
+    # device — and behind the axon relay costs a full ~36 ms round trip).
+    # Keep device-scalar references and only touch one result every
+    # `sync_every` steps: dispatch runs ahead of the device while in-flight
+    # input buffers stay bounded to ~sync_every batches. The epoch mean is
+    # fetched with a single device call at epoch end.
+    sync_every = max(1, int(config.get("host_sync_every", 8) or 8))
+
+    import jax.numpy as jnp
+
     for epoch in range(start_epoch, int(config.num_epochs)):
         t0 = time.time()
         losses = []
@@ -114,8 +124,12 @@ def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
                 images = batch.pop("images")
                 labels = batch
             state, vals = step_fn(state, images, labels, rng)
-            losses.append(float(vals["loss"]))
-        epoch_loss = float(np.mean(losses))
+            losses.append(vals["loss"])
+            if len(losses) % sync_every == 0:
+                # bounded-lag throttle: block on a result sync_every steps
+                # old (long since computed) instead of the newest one
+                float(losses[-sync_every])
+        epoch_loss = float(jnp.mean(jnp.stack(losses)))
         history["loss"].append(epoch_loss)
         msg = (f"epoch {epoch + 1}/{config.num_epochs} "
                f"loss={epoch_loss:.4f} ({time.time() - t0:.1f}s)")
@@ -129,8 +143,8 @@ def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
                 labels = {k: v for k, v in labels.items()
                           if not isinstance(v, list)}
                 vvals = eval_fn(state, images, labels)
-                vlosses.append(float(vvals["val_det_loss"]))
-            val_loss = float(np.mean(vlosses))
+                vlosses.append(vvals["val_det_loss"])
+            val_loss = float(jnp.mean(jnp.stack(vlosses)))
             history["val_loss"].append(val_loss)
             msg += f" val_loss={val_loss:.4f}"
 

@@ -68,6 +68,46 @@ def create_train_state(config, rng: jax.Array, steps_per_epoch: int,
     return model, state, tx, schedule
 
 
+def prepare_batch(config, images, labels):
+    """On-device input preparation (runs inside the jitted step).
+
+    Two fast-input-path conversions, both no-ops for the classic host-built
+    batch format:
+      * uint8 images → normalized float32, with the bottom/right padding
+        region re-zeroed from ``labels['valid_hw']`` (host sends raw resized
+        uint8 — 4x less H2D traffic than f32; the reference normalizes on
+        host inside tf.data, `/root/reference/src/dataloader.py:272-340`);
+      * compact groundtruth (``gt_boxes``/``gt_classes``) → per-level anchor
+        targets via `data.labels.build_labels`, i.e. target assignment as
+        device compute fused into the step instead of host work per batch
+        (replaces the reference's per-example `AnchorLabeler.label_anchors`
+        tf.data map, `/root/reference/src/dataloader.py:398-421`).
+    """
+    if images.dtype == jnp.uint8:
+        mean = jnp.asarray(config.mean_rgb, jnp.float32)
+        std = jnp.asarray(config.stddev_rgb, jnp.float32)
+        x = (images.astype(jnp.float32) - mean) / std
+        vhw = labels.get("valid_hw")
+        if vhw is not None:
+            h, w = x.shape[1], x.shape[2]
+            rmask = jnp.arange(h)[None, :] < vhw[:, :1]      # [B, H]
+            cmask = jnp.arange(w)[None, :] < vhw[:, 1:]      # [B, W]
+            x = x * (rmask[:, :, None] & cmask[:, None, :])[..., None]
+        images = x
+    if "gt_boxes" in labels:
+        from udal_tpu.data.labels import build_labels
+
+        built = build_labels(config, labels["gt_boxes"], labels["gt_classes"],
+                             labels.get("gt_pseudo"))
+        labels = {k: v for k, v in labels.items()
+                  if k not in ("gt_boxes", "gt_classes", "gt_pseudo",
+                               "valid_hw")}
+        labels.update(built)
+    elif "valid_hw" in labels:
+        labels = {k: v for k, v in labels.items() if k != "valid_hw"}
+    return images, labels
+
+
 def _forward(model, params, batch_stats, images, dropout_rng, train: bool):
     outs, mutated = model.apply(
         {"params": params, "batch_stats": batch_stats}, images, train=train,
@@ -188,6 +228,7 @@ def train_step(config, model, tx, schedule, steps_per_epoch: int,
                state: TrainState, images, labels, rng: jax.Array
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SPMD training step (pure; jit with static config/model/tx)."""
+    images, labels = prepare_batch(config, images, labels)
     dropout_rng = jax.random.fold_in(rng, state.step)
 
     grad_fn = jax.value_and_grad(
@@ -218,6 +259,7 @@ def train_step(config, model, tx, schedule, steps_per_epoch: int,
 def eval_step(config, model, state: TrainState, images, labels
               ) -> Dict[str, jnp.ndarray]:
     """Validation loss — parity `test_step` (`train_lib.py:1812-1866`)."""
+    images, labels = prepare_batch(config, images, labels)
     outs = model.apply(state.variables, images, train=False)
     cls_outputs, box_outputs = outs[0], outs[1]
     if config.loss_attenuation:
