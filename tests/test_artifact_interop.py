@@ -58,15 +58,30 @@ def artifacts(tmp_path_factory):
 
     d = tmp_path_factory.mktemp("interop")
     data = str(d / "val.tfrecord")
-    write_synthetic_dataset(data, num_images=4, height=64, width=64,
+    write_synthetic_dataset(data, num_images=10, height=64, width=64,
                             num_classes=3, seed=7)
+    from udal_tpu import cli
+    from udal_tpu.train.train_lib import create_train_state
+    from udal_tpu.utils.checkpoint import restore_checkpoint, swap_in_ema
+
+    # mc_dropoutrate>0 activates MC sampling (uncalib_mcbox/mcclass rows);
+    # enable_softmax packs logits → entropy — the reference's scoring
+    # assumes all of these keys unconditionally. A briefly-TRAINED model is
+    # required: untrained backbones collapse to ~1e-11 activations, the
+    # logits degenerate to the head bias, and the constant uncertainty
+    # columns make the reference's min_max_scaler emit all-NaN.
+    hparams = ("image_size=64,num_classes=4,mc_dropout=True,"
+               "mc_dropoutsamp=3,mc_dropoutrate=0.1,"
+               "loss_attenuation=True,enable_softmax=True,save_freq=1")
+    mdir = str(d / "model")
+    cli.main(["train", "--train_file_pattern", data, "--model_dir", mdir,
+              "--hparams", hparams, "--batch_size", "2", "--num_epochs", "4",
+              "--steps_per_epoch", "5"])
     cfg = get_detection_config("efficientdet-d0")
-    cfg.override("image_size=64,num_classes=4,mc_dropout=True,"
-                 "mc_dropoutsamp=3,loss_attenuation=True",
-                 allow_new_keys=True)
-    driver = ServingDriver.create("efficientdet-d0",
-                                  overrides=dict(cfg.as_dict()),
-                                  batch_size=2, rng=jax.random.PRNGKey(3))
+    cfg.override(hparams, allow_new_keys=True)
+    _, st, _, _ = create_train_state(cfg, jax.random.PRNGKey(0), 1)
+    st, _ = restore_checkpoint(mdir, st)
+    driver = ServingDriver(cfg, swap_in_ema(st), batch_size=2)
 
     infer_dir = str(d / "infer")
     app = InferImages(driver, infer_dir, min_score=-1.0,
@@ -105,6 +120,7 @@ def test_reference_al_scoring_reproduces_ours(reference_modules, artifacts):
     from udal_tpu.apps.active_learning import score_images
 
     path = os.path.join(infer_dir, "prediction_data.txt")
+    compared = 0
     for strategy in STRATEGIES:
         ref_scores, _, ref_names = _ref_score(al_mod, path, strategy,
                                               [0.5, 0.5])
@@ -112,11 +128,20 @@ def test_reference_al_scoring_reproduces_ours(reference_modules, artifacts):
                                                 opt_params=[0.5, 0.5])
         assert sorted(ref_names.tolist()) == sorted(our_names), strategy
         # both score vectors are in file encounter order (the reference's
-        # np.unique name list is sorted separately — its own quirk)
-        np.testing.assert_allclose(
-            np.asarray(ref_scores, np.float64),
-            np.asarray(our_scores, np.float64),
-            rtol=1e-6, atol=1e-9, err_msg=strategy)
+        # np.unique name list is sorted separately — its own quirk).
+        # Degenerate-term images make the reference's min_max_scaler emit
+        # NaN (`active_learning_loop.py:321` divides by zero) where our
+        # scaler deliberately returns 0 — compare where the reference is
+        # finite.
+        ref_arr = np.asarray(ref_scores, np.float64)
+        our_arr = np.asarray(our_scores, np.float64)
+        finite = np.isfinite(ref_arr)
+        if not finite.any():
+            continue   # every term constant → reference all-NaN
+        compared += 1
+        np.testing.assert_allclose(ref_arr[finite], our_arr[finite],
+                                   rtol=1e-6, atol=1e-9, err_msg=strategy)
+    assert compared >= len(STRATEGIES) - 2, compared
 
 
 def test_reference_al_combo_scoring(reference_modules, artifacts):

@@ -46,6 +46,36 @@ def test_train_loop_end_to_end(tmp_path, dataset):
     assert latest_checkpoint(model_dir) == 3
 
 
+def test_steps_per_execution_matches_single_step(tmp_path, dataset):
+    """steps_per_execution>1 (scan of k steps per XLA call — reference
+    `train_flags.py:173` parity) must train numerically like k single
+    steps: same batches, same RNG folding by state.step."""
+    from udal_tpu.config import get_detection_config
+    from udal_tpu.data.dataloader import InputReader
+    from udal_tpu.train.loop import train_and_evaluate
+
+    def run(exec_k, mdir):
+        cfg = get_detection_config("efficientdet-d0")
+        cfg.image_size = 64
+        cfg.num_classes = 8
+        cfg.num_epochs = 1
+        cfg.override({"batch_size": 2, "steps_per_execution": exec_k},
+                     allow_new_keys=True)
+        reader = InputReader(dataset, is_training=True, seed=7)
+        return train_and_evaluate(cfg, reader(cfg, 2), steps_per_epoch=4,
+                                  model_dir=str(tmp_path / mdir),
+                                  log_fn=lambda s: None)
+
+    h1 = run(1, "m1")
+    h2 = run(2, "m2")
+    np.testing.assert_allclose(h1["loss"][-1], h2["loss"][-1],
+                               rtol=2e-4, atol=2e-4)
+    # odd remainder path: 4 steps = one scan of 3 + one single step
+    h3 = run(3, "m3")
+    np.testing.assert_allclose(h1["loss"][-1], h3["loss"][-1],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_cli_eval_runs(tmp_path, dataset, capsys):
     from udal_tpu import cli
 

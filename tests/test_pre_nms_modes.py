@@ -112,3 +112,22 @@ def test_pre_nms_modes_shapes_and_gather(loss_att, mc):
         want = np.mean(np.asarray(dec), axis=0) if mc else np.asarray(dec)
         np.testing.assert_allclose(np.asarray(out["boxes"]), want,
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_approx_topk_opt_in_matches_exact_candidates():
+    """`approx_topk=True` (jax.lax.approx_max_k) is an opt-in speed knob;
+    on CPU the lowering is exact, and the selected candidate set must agree
+    with the exact top-k (set equality per image)."""
+    cfg = make_cfg(loss_att=False)
+    rng = np.random.RandomState(1)
+    cls_outputs, box_outputs = make_outputs(cfg, rng, mc=False)
+
+    exact = pre_nms(cfg, cls_outputs, box_outputs)
+    cfg.override({"approx_topk": True}, allow_new_keys=True)
+    approx = pre_nms(cfg, cls_outputs, box_outputs)
+    assert approx["boxes"].shape == exact["boxes"].shape
+    for b in range(exact["indices"].shape[0]):
+        got = set(np.asarray(approx["indices"])[b].tolist())
+        want = set(np.asarray(exact["indices"])[b].tolist())
+        overlap = len(got & want) / len(want)
+        assert overlap >= 0.95, overlap

@@ -123,12 +123,37 @@ def run_reference(train_path, val_path, steps, size, num_classes, batch,
     config.num_classes = num_classes
     config.loss_attenuation = True
     config.mc_dropout = False
+    # op-point scoring path; also dodges a live reference bug
+    # (`postprocess.py:470`: `return pre_nms_output.append(None)` → None
+    # when enable_softmax=False)
+    config.enable_softmax = True
+    # Eval routes through postprocess_global (pyfunc=False,
+    # per_class_nms=False in eval_reference): the pyfunc path calls pre_nms
+    # without splitting LA channels (`postprocess.py:804-809` → crash with
+    # loss_attenuation), and the graph per-class path clobbers `logits`
+    # after the first class's gather (`postprocess.py:662` — silent garbage
+    # on GPU, OOB error on CPU). The global path is the one the rebuild
+    # mirrors, so it is also the right comparison.
+    config.nms_configs.pyfunc = False
     config.batch_size = batch
+    config.moving_average_decay = 0   # EMA off both sides (tfa absent)
     config.steps_per_execution = 1
-    config.num_epochs = 1
+    # schedule horizon: 10 nominal epochs over the step budget, so warmup
+    # (1 epoch) ends at 10% of training instead of spanning all of it
+    config.num_epochs = 10
     config.grad_checkpoint = False
     config.img_summary_steps = None
-    config.override({"steps_per_epoch": steps}, allow_new_keys=True)
+    config.override({"steps_per_epoch": max(1, steps // 10),
+                     "model_dir": tempfile.mkdtemp(prefix="ab_ref_")},
+                    allow_new_keys=True)
+
+    # TF 2.10 semantics: the reference calls
+    # `optimizer.learning_rate(optimizer.iterations)` (train_lib.py:1785),
+    # which requires the pre-2.11 optimizer class; map to tf.keras's
+    # `legacy` aliases under the installed TF 2.21
+    if hasattr(tf.keras.optimizers, "legacy"):
+        tf.keras.optimizers.SGD = tf.keras.optimizers.legacy.SGD
+        tf.keras.optimizers.Adam = tf.keras.optimizers.legacy.Adam
 
     model = ref_train_lib.EfficientDetNetTrain(config=config)
     ref_train_flags.setup_model(model, config)
@@ -172,7 +197,8 @@ def eval_reference(model, config, ref_postprocess, ref_dataloader, val_path,
         cls_out, box_out = model(images, training=False)[:2]
         dets = ref_postprocess.generate_detections(
             config, cls_out, box_out,
-            labels["image_scales"], labels["source_ids"])
+            labels["image_scales"], labels["source_ids"],
+            per_class_nms=False)
         dets = ref_postprocess.transform_detections(dets)
         rows = np.asarray(dets)
         gt = np.asarray(labels["groundtruth_data"]).copy()
@@ -204,12 +230,16 @@ def run_ours(train_path, val_path, steps, size, num_classes, batch,
     cfg.num_classes = num_classes
     cfg.loss_attenuation = True
     cfg.mc_dropout = False
+    cfg.enable_softmax = True   # op-point scoring path, both sides
+    cfg.num_epochs = 10   # schedule horizon (see run_reference)
+    cfg.moving_average_decay = 0      # EMA off both sides
     cfg.override({"batch_size": batch,
                   "strict_loss_parity": bool(strict)}, allow_new_keys=True)
 
+    spe = max(1, steps // 10)
     model, state, tx, schedule = create_train_state(
-        cfg, jax.random.PRNGKey(0), steps_per_epoch=steps)
-    step_fn = make_jitted_train_step(cfg, model, tx, schedule, steps)
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=spe)
+    step_fn = make_jitted_train_step(cfg, model, tx, schedule, spe)
     reader = InputReader(train_path, is_training=True, seed=0)
     it = reader(cfg, batch)
 

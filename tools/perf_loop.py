@@ -33,6 +33,16 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--image-size", default="1024x512")
     ap.add_argument("--sync-every", type=int, default=8)
+    ap.add_argument("--exec", type=int, default=1,
+                    help="steps_per_execution (scan k steps per XLA call)")
+    ap.add_argument("--f32", action="store_true",
+                    help="disable bf16 mixed precision (op point is bf16)")
+    ap.add_argument("--device-batch", action="store_true",
+                    help="pre-stage the batch on device: measures the "
+                         "loop's dispatch overhead in isolation. Needed on "
+                         "the axon relay, whose ~35-40 MB/s H2D tunnel "
+                         "(measured 2026-08-17) otherwise dominates: 50 MB "
+                         "f32 batch = 1.3 s/step regardless of loop design")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +61,10 @@ def main():
     cfg.num_epochs = args.epochs
     cfg.save_freq = 10 ** 6          # no checkpoint IO in the timing
     cfg.override({"batch_size": args.batch,
-                  "host_sync_every": args.sync_every}, allow_new_keys=True)
+                  "host_sync_every": args.sync_every,
+                  "steps_per_execution": args.exec,
+                  "mixed_precision": not args.f32},  # op point is bf16
+                 allow_new_keys=True)
 
     from udal_tpu.config import parse_image_size
 
@@ -64,11 +77,23 @@ def main():
     labels = {k: np.asarray(v) for k, v in
               build_labels(cfg, gt_boxes, gt_classes).items()}
 
-    def it():
-        while True:
-            # fresh numpy each step: H2D transfer is part of the loop cost
-            yield images + rng.randn() * 1e-3, labels
+    if args.device_batch:
+        import jax.numpy as jnp
 
+        images_d = jnp.asarray(images)
+        labels_d = {k: jnp.asarray(v) for k, v in labels.items()}
+
+        def it():
+            while True:
+                yield images_d, labels_d
+    else:
+        def it():
+            while True:
+                # fresh numpy each step: H2D is part of the loop cost
+                yield images + rng.randn() * 1e-3, labels
+
+    print(f"[perf_loop] setup done, entering loop "
+          f"(device_batch={args.device_batch})", flush=True)
     epoch_times = []
     t_last = [time.perf_counter()]
 
@@ -89,6 +114,7 @@ def main():
     print(json.dumps({"loop_img_per_s": round(img_per_s, 2),
                       "epoch_s": [round(t, 2) for t in epoch_times],
                       "sync_every": args.sync_every,
+                      "steps_per_execution": args.exec,
                       "platform": jax.devices()[0].platform}))
 
 

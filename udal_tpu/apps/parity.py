@@ -94,6 +94,10 @@ def _run_reference_eval(args) -> dict:
     config = ref_hc.get_detection_config("efficientdet-d0")
     config.override(args.hparams.replace("label_map=kitti", "").strip(","))
     config.image_size = ref_utils.parse_image_size(config.image_size)
+    # global-NMS eval path (same as the rebuild's): the reference's pyfunc
+    # and graph per-class paths both crash/corrupt under loss attenuation
+    # on CPU (see tools/ab_parity.py run_reference notes)
+    config.nms_configs.pyfunc = False
     model = ref_keras.EfficientDetNet(config=config)
     model(tf.zeros((1, *config.image_size, 3)), training=False)
     ref_utils_keras.restore_ckpt(model, args.tf_checkpoint,
@@ -110,7 +114,7 @@ def _run_reference_eval(args) -> dict:
         cls_out, box_out = model(images, training=False)[:2]
         dets = ref_postprocess.generate_detections(
             config, cls_out, box_out, labels["image_scales"],
-            labels["source_ids"])
+            labels["source_ids"], per_class_nms=False)
         dets = ref_postprocess.transform_detections(dets)
         gt = np.asarray(labels["groundtruth_data"]).copy()
         gt[..., :4] *= np.asarray(labels["image_scales"])[:, None, None]

@@ -215,6 +215,13 @@ def pre_nms(config, cls_outputs, box_outputs, pre_nms_topk: int = 0):
         flat_idx = jnp.broadcast_to(
             jnp.arange(n_total, dtype=jnp.int32)[None], (b, n_total))
         scores_logits = scores_flat
+    elif config.get("approx_topk", False):
+        # opt-in: TPU-native approximate top-k (recall ~0.95 per
+        # jax.lax.approx_max_k docs at these shapes) — faster than the
+        # exact sort; OFF by default and for the parity bench
+        scores_logits, flat_idx = jax.lax.approx_max_k(
+            scores_flat, max_nms_inputs)
+        flat_idx = flat_idx.astype(jnp.int32)
     else:
         scores_logits, flat_idx = jax.lax.top_k(scores_flat, max_nms_inputs)
         flat_idx = flat_idx.astype(jnp.int32)

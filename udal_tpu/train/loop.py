@@ -77,6 +77,15 @@ def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
     step_fn = make_jitted_train_step(config, model, tx, schedule,
                                      steps_per_epoch, mesh,
                                      tensor_parallel=tensor_parallel)
+    # steps_per_execution parity (`/root/reference/src/train_flags.py:173`):
+    # scan k steps per XLA call — amortizes per-call dispatch overhead
+    exec_k = max(1, int(config.get("steps_per_execution", 1) or 1))
+    multi_fn = None
+    if exec_k > 1:
+        from udal_tpu.train.train_lib import make_jitted_multi_step
+        multi_fn = make_jitted_multi_step(config, model, tx, schedule,
+                                          steps_per_epoch, exec_k, mesh,
+                                          tensor_parallel=tensor_parallel)
     eval_fn = jax.jit(lambda s, i, l: eval_step(config, model, s, i, l))
 
     stopper = EarlyStopping(config.early_stopping_patience or 0)
@@ -112,24 +121,51 @@ def train_and_evaluate(config, train_iter: Iterator, steps_per_epoch: int,
 
     import jax.numpy as jnp
 
+    def next_batch():
+        images, labels = next(train_iter)
+        labels = {k: v for k, v in labels.items()
+                  if not isinstance(v, list)}
+        return images, labels
+
     for epoch in range(start_epoch, int(config.num_epochs)):
         t0 = time.time()
         losses = []
-        for _ in range(steps_per_epoch):
-            images, labels = next(train_iter)
-            labels = {k: v for k, v in labels.items()
-                      if not isinstance(v, list)}
-            if mesh is not None:
-                batch = shard_batch(mesh, {"images": images, **labels})
-                images = batch.pop("images")
-                labels = batch
-            state, vals = step_fn(state, images, labels, rng)
+        weights = []   # steps per recorded loss (exec_k groups report means)
+        step = 0
+        while step < steps_per_epoch:
+            if multi_fn is not None and steps_per_epoch - step >= exec_k:
+                group = [next_batch() for _ in range(exec_k)]
+                # device-resident iterators stack on device (no D2H)
+                stack = jnp.stack if isinstance(group[0][0], jax.Array) \
+                    else np.stack
+                images = stack([g[0] for g in group])
+                labels = {k: stack([g[1][k] for g in group])
+                          for k in group[0][1]}
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    sk = NamedSharding(mesh, P(None, "data"))
+                    images = jax.device_put(images, sk)
+                    labels = {k: jax.device_put(v, sk)
+                              for k, v in labels.items()}
+                state, vals = multi_fn(state, images, labels, rng)
+                step += exec_k
+                weights.append(exec_k)
+            else:
+                images, labels = next_batch()
+                if mesh is not None:
+                    batch = shard_batch(mesh, {"images": images, **labels})
+                    images = batch.pop("images")
+                    labels = batch
+                state, vals = step_fn(state, images, labels, rng)
+                step += 1
+                weights.append(1)
             losses.append(vals["loss"])
             if len(losses) % sync_every == 0:
-                # bounded-lag throttle: block on a result sync_every steps
+                # bounded-lag throttle: block on a result sync_every calls
                 # old (long since computed) instead of the newest one
                 float(losses[-sync_every])
-        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+        w = jnp.asarray(weights, jnp.float32)
+        epoch_loss = float(jnp.sum(jnp.stack(losses) * w) / jnp.sum(w))
         history["loss"].append(epoch_loss)
         msg = (f"epoch {epoch + 1}/{config.num_epochs} "
                f"loss={epoch_loss:.4f} ({time.time() - t0:.1f}s)")

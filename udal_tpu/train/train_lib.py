@@ -271,6 +271,44 @@ def eval_step(config, model, state: TrainState, images, labels
     return {f"val_{k}": v for k, v in loss_vals.items()}
 
 
+def make_jitted_multi_step(config, model, tx, schedule, steps_per_epoch: int,
+                           k: int, mesh=None,
+                           tensor_parallel: bool = False):
+    """`lax.scan` of k train steps in ONE XLA program.
+
+    Parity with the reference's ``steps_per_execution``
+    (`/root/reference/src/train_flags.py:173`, Keras
+    ``model.compile(steps_per_execution=...)``): amortizes per-call host
+    dispatch (≈36 ms/call on the tunneled-TPU relay) over k steps. Inputs
+    carry a leading k axis; returns (state, {"loss": mean over k}).
+    Per-step dropout keys still differ — `train_step` folds the RNG with
+    the (incrementing) state.step.
+    """
+    step = functools.partial(train_step, config, model, tx, schedule,
+                             steps_per_epoch)
+
+    def multi(state, images_k, labels_k, rng):
+        def body(st, xs):
+            im, lb = xs
+            st, vals = step(st, im, lb, rng)
+            return st, vals["loss"]
+
+        state, losses = jax.lax.scan(body, state, (images_k, labels_k))
+        return state, {"loss": jnp.mean(losses)}
+
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data_k = NamedSharding(mesh, P(None, "data"))   # [k, B, ...] axis-1
+    if tensor_parallel:
+        return jax.jit(multi, donate_argnums=(0,),
+                       in_shardings=(None, data_k, data_k, repl))
+    return jax.jit(multi, donate_argnums=(0,),
+                   in_shardings=(repl, data_k, data_k, repl),
+                   out_shardings=(repl, repl))
+
+
 def make_jitted_train_step(config, model, tx, schedule, steps_per_epoch: int,
                            mesh=None, tensor_parallel: bool = False):
     """jit the train step; with a mesh, inputs are sharded over 'data'.
