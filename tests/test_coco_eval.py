@@ -108,44 +108,46 @@ def test_parity_with_pycocotools_if_available(seed):
     np.testing.assert_allclose(res["ARmax100"], E.stats[8], atol=1e-6)
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_parity_with_vendored_cocoeval(seed):
-    """VERDICT r1 #5: cross-check against the real COCOeval algorithm.
+def _bb_iou(dt, gt, iscrowd):
+    dt = np.asarray(dt, float)
+    gt = np.asarray(gt, float)
+    out = np.zeros((len(dt), len(gt)))
+    for j, g in enumerate(gt):
+        gx1, gy1, gx2, gy2 = g[0], g[1], g[0] + g[2], g[1] + g[3]
+        for i, d in enumerate(dt):
+            dx1, dy1, dx2, dy2 = d[0], d[1], d[0] + d[2], d[1] + d[3]
+            iw = min(dx2, gx2) - max(dx1, gx1)
+            ih = min(dy2, gy2) - max(dy1, gy1)
+            if iw <= 0 or ih <= 0:
+                continue
+            inter = iw * ih
+            union = d[2] * d[3] if iscrowd[j] else \
+                d[2] * d[3] + g[2] * g[3] - inter
+            out[i, j] = inter / union
+    return out
 
-    pycocotools is not installed in this image, but the reference vendors a
-    verbatim upstream `cocoeval.py` (`/root/reference/src/
-    custom_cocoeval.py`, only the IoU grid widened to 0.05:0.05:0.95). It is
-    imported READ-ONLY as the oracle, with `pycocotools.mask.iou` stubbed by
-    the documented xywh-IoU math and a minimal COCO index — so the parity
-    check actually runs in CI.
-    """
+
+def _import_vendored_cocoeval():
+    """Import the reference's verbatim-upstream cocoeval READ-ONLY, stubbing
+    `pycocotools.mask.iou` with the documented xywh-IoU math (pycocotools
+    itself is uninstallable in this image: no egress, no wheel)."""
     import sys
     import types
 
-    def bb_iou(dt, gt, iscrowd):
-        dt = np.asarray(dt, float)
-        gt = np.asarray(gt, float)
-        out = np.zeros((len(dt), len(gt)))
-        for j, g in enumerate(gt):
-            gx1, gy1, gx2, gy2 = g[0], g[1], g[0] + g[2], g[1] + g[3]
-            for i, d in enumerate(dt):
-                dx1, dy1, dx2, dy2 = d[0], d[1], d[0] + d[2], d[1] + d[3]
-                iw = min(dx2, gx2) - max(dx1, gx1)
-                ih = min(dy2, gy2) - max(dy1, gy1)
-                if iw <= 0 or ih <= 0:
-                    continue
-                inter = iw * ih
-                union = d[2] * d[3] if iscrowd[j] else \
-                    d[2] * d[3] + g[2] * g[3] - inter
-                out[i, j] = inter / union
-        return out
-
-    mask_mod = types.ModuleType("pycocotools.mask")
-    mask_mod.iou = bb_iou
-    pkg = types.ModuleType("pycocotools")
-    pkg.__path__ = []
+    # Other tests (reference_compat) may have already stubbed pycocotools
+    # WITHOUT .iou and custom_cocoeval may be import-cached with that stale
+    # maskUtils — so patch whatever module objects are live, not just
+    # sys.modules, and re-point the cached maskUtils binding.
+    mask_mod = sys.modules.get("pycocotools.mask")
+    if mask_mod is None:
+        mask_mod = types.ModuleType("pycocotools.mask")
+    mask_mod.iou = _bb_iou
+    pkg = sys.modules.get("pycocotools")
+    if pkg is None:
+        pkg = types.ModuleType("pycocotools")
+        pkg.__path__ = []
     pkg.mask = mask_mod
-    sys.modules.setdefault("pycocotools", pkg)
+    sys.modules["pycocotools"] = pkg
     sys.modules["pycocotools.mask"] = mask_mod
     if "/root/reference/src" not in sys.path:
         sys.path.insert(0, "/root/reference/src")
@@ -153,31 +155,47 @@ def test_parity_with_vendored_cocoeval(seed):
         import custom_cocoeval
     except Exception as e:  # noqa: BLE001
         pytest.skip(f"reference cocoeval unavailable: {e}")
+    custom_cocoeval.maskUtils = mask_mod
+    return custom_cocoeval
 
-    class MiniCOCO:
-        """The slice of the pycocotools COCO index cocoeval touches."""
 
-        def __init__(self, anns, img_ids, cat_ids):
-            self.anns = anns
-            self.img_ids = sorted(img_ids)
-            self.cat_ids = sorted(cat_ids)
+class MiniCOCO:
+    """The slice of the pycocotools COCO index cocoeval touches."""
 
-        def getImgIds(self):
-            return list(self.img_ids)
+    def __init__(self, anns, img_ids, cat_ids):
+        self.anns = anns
+        self.img_ids = sorted(img_ids)
+        self.cat_ids = sorted(cat_ids)
 
-        def getCatIds(self):
-            return list(self.cat_ids)
+    def getImgIds(self):
+        return list(self.img_ids)
 
-        def getAnnIds(self, imgIds=None, catIds=None):
-            img_set = set(imgIds) if imgIds else None
-            cat_set = set(catIds) if catIds else None
-            return [a["id"] for a in self.anns
-                    if (img_set is None or a["image_id"] in img_set)
-                    and (cat_set is None or a["category_id"] in cat_set)]
+    def getCatIds(self):
+        return list(self.cat_ids)
 
-        def loadAnns(self, ids):
-            by_id = {a["id"]: a for a in self.anns}
-            return [dict(by_id[i]) for i in ids]
+    def getAnnIds(self, imgIds=None, catIds=None):
+        img_set = set(imgIds) if imgIds else None
+        cat_set = set(catIds) if catIds else None
+        return [a["id"] for a in self.anns
+                if (img_set is None or a["image_id"] in img_set)
+                and (cat_set is None or a["category_id"] in cat_set)]
+
+    def loadAnns(self, ids):
+        by_id = {a["id"]: a for a in self.anns}
+        return [dict(by_id[i]) for i in ids]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_parity_with_vendored_cocoeval(seed):
+    """VERDICT r1 #5: cross-check against the real COCOeval algorithm.
+
+    pycocotools is not installed in this image, but the reference vendors a
+    verbatim upstream `cocoeval.py` (`/root/reference/src/
+    custom_cocoeval.py`, only the IoU grid widened to 0.05:0.05:0.95). It is
+    imported READ-ONLY as the oracle — so the parity check actually runs in
+    CI.
+    """
+    custom_cocoeval = _import_vendored_cocoeval()
 
     rng = np.random.RandomState(seed)
     n_img, n_cls = 4, 3
@@ -232,3 +250,92 @@ def test_parity_with_vendored_cocoeval(seed):
         ours = res[f"AP@{thr:.2f}"]
         np.testing.assert_allclose(ours, oracle_ap, atol=1e-6,
                                    err_msg=f"AP@{thr:.2f}")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_vendored_oracle_crowd_areas_maxdets(seed):
+    """Harder oracle regime: crowd GTs (IoA matching), size-stratified boxes
+    (small/medium/large area ranges), tied scores, and the full COCO summary
+    (AP/AP50/AP75/APs/APm/APl, ARmax1/10/100, ARs/m/l) against the
+    reference's vendored upstream cocoeval."""
+    custom_cocoeval = _import_vendored_cocoeval()
+
+    rng = np.random.RandomState(100 + seed)
+    n_img, n_cls = 5, 3
+    gt_ann, det_ann = [], []
+    ev = COCOEvaluator(fine_grid=True)
+    size_buckets = [(8, 28), (40, 90), (100, 220)]   # small/medium/large
+    for img in range(n_img):
+        gts, dd = [], []
+        for _ in range(rng.randint(2, 7)):
+            lo, hi = size_buckets[rng.randint(3)]
+            w, h = rng.uniform(lo, hi, 2)
+            x, y = rng.uniform(0, 400 - max(w, h), 2)
+            c = rng.randint(1, n_cls + 1)
+            crowd = int(rng.rand() < 0.25)
+            gt_ann.append({"id": len(gt_ann) + 1, "image_id": img,
+                           "category_id": c, "bbox": [x, y, w, h],
+                           "area": w * h, "iscrowd": crowd,
+                           "ignore": 0})
+            gts.append(_gt_row(y, x, y + h, x + w, c, crowd=crowd))
+            if rng.rand() < 0.85:
+                jx, jy = rng.uniform(-6, 6, 2)
+                jw, jh = w * rng.uniform(0.85, 1.15), h * rng.uniform(0.85, 1.15)
+                # tied scores: quantize to force stable-sort agreement
+                sc = round(float(rng.uniform(0.2, 1.0)), 1)
+                wrong_cls = rng.randint(1, n_cls + 1) if rng.rand() < 0.15 else c
+                det_ann.append({"id": len(det_ann) + 1, "image_id": img,
+                                "category_id": wrong_cls,
+                                "bbox": [x + jx, y + jy, jw, jh],
+                                "area": jw * jh, "score": sc, "iscrowd": 0,
+                                "ignore": 0})
+                dd.append(_det_row(img, x + jx, y + jy, jw, jh, sc, wrong_cls))
+        for _ in range(rng.randint(1, 4)):   # false positives, mixed sizes
+            lo, hi = size_buckets[rng.randint(3)]
+            w, h = rng.uniform(lo, hi, 2)
+            x, y = rng.uniform(0, 400 - max(w, h), 2)
+            sc = round(float(rng.uniform(0.05, 0.6)), 1)
+            c = rng.randint(1, n_cls + 1)
+            det_ann.append({"id": len(det_ann) + 1, "image_id": img,
+                            "category_id": c, "bbox": [x, y, w, h],
+                            "area": w * h, "score": sc, "iscrowd": 0,
+                            "ignore": 0})
+            dd.append(_det_row(img, x, y, w, h, sc, c))
+        pad = max(len(gts), len(dd), 1)
+        while len(gts) < pad:
+            gts.append([0] * 7)
+        while len(dd) < pad:
+            dd.append([img] + [0] * 6)
+        ev.update_state(np.asarray([gts], float), np.asarray([dd], float))
+
+    cocoGt = MiniCOCO(gt_ann, range(n_img), range(1, n_cls + 1))
+    cocoDt = MiniCOCO(det_ann, range(n_img), range(1, n_cls + 1))
+    E = custom_cocoeval.COCOeval_all(cocoGt, cocoDt, iouType="bbox")
+    E.evaluate()
+    E.accumulate()
+
+    res = ev.result()
+    prec = E.eval["precision"]   # [T, R, K, A, M]
+    rec = E.eval["recall"]       # [T, K, A, M]
+    thrs = np.asarray(E.params.iouThrs)
+    coco = np.isin(np.round(thrs, 2), np.round(np.arange(0.5, 1.0, 0.05), 2))
+
+    def m(x):
+        v = x[x > -1]
+        return float(np.mean(v)) if v.size else -1.0
+
+    area_idx = {"all": 0, "small": 1, "medium": 2, "large": 3}
+    np.testing.assert_allclose(res["AP"], m(prec[coco][:, :, :, 0, 2]),
+                               atol=1e-6)
+    for name, key in (("small", "APs"), ("medium", "APm"), ("large", "APl")):
+        np.testing.assert_allclose(
+            res[key], m(prec[coco][:, :, :, area_idx[name], 2]), atol=1e-6,
+            err_msg=key)
+    for mi, md in enumerate((1, 10, 100)):
+        np.testing.assert_allclose(
+            res[f"ARmax{md}"], m(rec[coco][:, :, 0, mi]), atol=1e-6,
+            err_msg=f"ARmax{md}")
+    for name, key in (("small", "ARs"), ("medium", "ARm"), ("large", "ARl")):
+        np.testing.assert_allclose(
+            res[key], m(rec[coco][:, :, area_idx[name], 2]), atol=1e-6,
+            err_msg=key)

@@ -299,6 +299,11 @@ def eval_ours(cfg, model, state, val_path, batch):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true",
+                    help="run our side on the default accelerator; by "
+                    "default the A/B pins jax to CPU (a sitecustomize in "
+                    "this image pins JAX_PLATFORMS=axon, which would route "
+                    "this multi-hour run through the TPU relay)")
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--batch", type=int, default=4)
@@ -310,36 +315,82 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="128px / 60 steps quick profile")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--sections", default="all",
+                    help="comma list of ours_default,ours_strict,reference "
+                    "(default all). With one core, run ours on the TPU "
+                    "(--tpu --sections ours_default,ours_strict) in "
+                    "parallel with the CPU-bound reference section; both "
+                    "merge into --out")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="dataset seed (keep identical across sections)")
     args = ap.parse_args()
     if args.tiny:
         args.steps, args.image_size = 60, 128
         args.train_images, args.val_images = 16, 8
+    if not args.tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
-    d = tempfile.mkdtemp(prefix="ab_parity_")
+    # deterministic dataset location: parallel section runs (and resumes)
+    # must train on the SAME records
+    key = f"{args.image_size}_{args.num_classes}_{args.train_images}_" \
+          f"{args.val_images}_{args.seed}"
+    d = os.path.join(tempfile.gettempdir(), f"ab_parity_{key}")
+    os.makedirs(d, exist_ok=True)
     train_path = os.path.join(d, "train.tfrecord")
     val_path = os.path.join(d, "val.tfrecord")
-    make_dataset(train_path, val_path, args.train_images, args.val_images,
-                 args.image_size, args.num_classes - 1)
+    if not (os.path.exists(train_path) and os.path.exists(val_path)):
+        make_dataset(train_path, val_path, args.train_images,
+                     args.val_images, args.image_size, args.num_classes - 1,
+                     seed=args.seed)
     eval_points = sorted({max(1, int(args.steps * f))
                           for f in EVAL_EVERY_FRACTIONS})
     log = lambda s: print(s, flush=True)
 
     results = {"config": vars(args), "eval_points": eval_points}
-    results["ours_default"] = run_ours(
-        train_path, val_path, args.steps, args.image_size, args.num_classes,
-        args.batch, eval_points, strict=False, log=log)
-    results["ours_strict"] = run_ours(
-        train_path, val_path, args.steps, args.image_size, args.num_classes,
-        args.batch, eval_points, strict=True, log=log)
-    if not args.skip_reference:
+    if os.path.exists(args.out):   # merge into an existing (parallel) run
+        with open(args.out) as f:
+            prev = json.load(f)
+        for k in ("ours_default", "ours_strict", "reference"):
+            if k in prev:
+                results[k] = prev[k]
+
+    def flush():
+        # checkpoint after every section: a multi-hour run must not lose
+        # completed curves to a crash in a later section; re-merge right
+        # before writing so a parallel section's finish isn't clobbered
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                prev = json.load(f)
+            for k in ("ours_default", "ours_strict", "reference"):
+                if k in prev and k not in results:
+                    results[k] = prev[k]
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        log(f"wrote {args.out}")
+
+    sections = [s.strip() for s in args.sections.split(",")] \
+        if args.sections != "all" else ["ours_default", "ours_strict",
+                                        "reference"]
+    if args.skip_reference and "reference" in sections:
+        sections.remove("reference")
+
+    if "ours_default" in sections:
+        results["ours_default"] = run_ours(
+            train_path, val_path, args.steps, args.image_size,
+            args.num_classes, args.batch, eval_points, strict=False, log=log)
+        flush()
+    if "ours_strict" in sections:
+        results["ours_strict"] = run_ours(
+            train_path, val_path, args.steps, args.image_size,
+            args.num_classes, args.batch, eval_points, strict=True, log=log)
+        flush()
+    if "reference" in sections:
         results["reference"] = run_reference(
             train_path, val_path, args.steps, args.image_size,
             args.num_classes, args.batch, eval_points, log=log)
-
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
-    log(f"wrote {args.out}")
+        flush()
 
 
 if __name__ == "__main__":

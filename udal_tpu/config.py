@@ -276,6 +276,10 @@ def default_detection_configs() -> Config:
     h.fpn_cell_repeats = 3
     h.fpn_num_filters = 88
     h.separable_conv = True
+    # TPU serving: compose each depthwise+pointwise pair into one dense kxk
+    # conv at apply time (models/bifpn.py SeparableConv.fuse_full) — exact
+    # function, one HBM pass instead of two; enabled by ServingDriver/bench
+    h.fused_sepconv = False
     h.apply_bn_for_resampling = True
     h.conv_after_downsample = False
     h.conv_bn_act_pattern = False

@@ -75,6 +75,7 @@ class EfficientDetNet(nn.Module):
             conv_bn_act_pattern=cfg.conv_bn_act_pattern,
             separable_conv=cfg.separable_conv,
             apply_bn_for_resampling=cfg.apply_bn_for_resampling,
+            fused_sepconv=bool(cfg.get("fused_sepconv", False)),
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
             name="fpn_cells")
 
@@ -86,6 +87,7 @@ class EfficientDetNet(nn.Module):
                 repeats=cfg.box_class_repeats,
                 separable_conv=cfg.separable_conv, act_type=cfg.act_type,
                 survival_prob=cfg.survival_prob, mc_dropoutrate=mc_clsrate,
+                fused_sepconv=bool(cfg.get("fused_sepconv", False)),
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                 name="class_net")
             # loss attenuation doubles the box output to 8·A (μ, σ)
@@ -95,6 +97,7 @@ class EfficientDetNet(nn.Module):
                 num_levels=num_levels, repeats=cfg.box_class_repeats,
                 separable_conv=cfg.separable_conv, act_type=cfg.act_type,
                 survival_prob=cfg.survival_prob, mc_dropoutrate=mc_boxrate,
+                fused_sepconv=bool(cfg.get("fused_sepconv", False)),
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                 name="box_net")
         if "segmentation" in cfg.heads:

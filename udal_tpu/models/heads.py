@@ -37,6 +37,7 @@ class _HeadStack(nn.Module):
     act_type: str = "swish"
     survival_prob: Optional[float] = None
     mc_dropoutrate: float = 0.0
+    fused_sepconv: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -48,6 +49,7 @@ class _HeadStack(nn.Module):
                 convs.append(SeparableConv(
                     self.num_filters, 3, use_bias=True, dtype=self.dtype,
                     depthwise_init=_var_scaling, pointwise_init=_var_scaling,
+                    fuse_full=self.fused_sepconv,
                     name=f"{self.prefix}-{i}"))
             else:
                 convs.append(nn.Conv(
@@ -89,6 +91,7 @@ class ClassNet(nn.Module):
     act_type: str = "swish"
     survival_prob: Optional[float] = None
     mc_dropoutrate: float = 0.0
+    fused_sepconv: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -96,6 +99,7 @@ class ClassNet(nn.Module):
         self.stack = _HeadStack(self.num_levels, self.num_filters, self.repeats,
                                 "class", self.separable_conv, self.act_type,
                                 self.survival_prob, self.mc_dropoutrate,
+                                self.fused_sepconv,
                                 self.bn_axis_name, self.dtype, name="stack")
         out_ch = self.num_classes * self.num_anchors
         if self.separable_conv:
@@ -104,6 +108,7 @@ class ClassNet(nn.Module):
                                          depthwise_init=_var_scaling,
                                          pointwise_init=_var_scaling,
                                          bias_init=_class_bias,
+                                         fuse_full=self.fused_sepconv,
                                          name="class-predict")
         else:
             self.predict = nn.Conv(out_ch, (3, 3), padding="SAME",
@@ -125,6 +130,7 @@ class BoxNet(nn.Module):
     act_type: str = "swish"
     survival_prob: Optional[float] = None
     mc_dropoutrate: float = 0.0
+    fused_sepconv: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -132,6 +138,7 @@ class BoxNet(nn.Module):
         self.stack = _HeadStack(self.num_levels, self.num_filters, self.repeats,
                                 "box", self.separable_conv, self.act_type,
                                 self.survival_prob, self.mc_dropoutrate,
+                                self.fused_sepconv,
                                 self.bn_axis_name, self.dtype, name="stack")
         out_ch = 4 * self.num_anchors
         if self.separable_conv:
@@ -139,6 +146,7 @@ class BoxNet(nn.Module):
                                          dtype=self.dtype,
                                          depthwise_init=_var_scaling,
                                          pointwise_init=_var_scaling,
+                                         fuse_full=self.fused_sepconv,
                                          name="box-predict")
         else:
             self.predict = nn.Conv(out_ch, (3, 3), padding="SAME",
