@@ -201,7 +201,8 @@ def test_full_al_loop_with_training_and_combo(tmp_path):
         d = _driver(prev_dir)
         # validate over the pool with synthetic GT labels
         reader_rows = []
-        v = Validator(d, prev_dir)
+        # raw file batches (reference validate_model.py contract)
+        v = Validator(d, prev_dir, preprocessed_batches=False)
         gt = np.asarray([[[30, 20, 80, 90, 0, 3500, 1]] * 1] * 2, float)
         batches = []
         for imgs, names in _batches(pool[:4]):

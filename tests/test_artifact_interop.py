@@ -87,7 +87,7 @@ def artifacts(tmp_path_factory):
     app = InferImages(driver, infer_dir, min_score=-1.0,
                       save_visualizations=False)
     reader = InputReader(data, is_training=False, names=True)
-    batches = ((imgs, labels["image_names"])
+    batches = ((imgs, labels["image_names"], labels["image_scales"])
                for imgs, labels in reader(driver.config, 2))
     rows = app.run(batches)
     assert rows, "no detections produced"

@@ -112,9 +112,10 @@ def test_bf16_serve_matches_f32(tmp_path):
     img_id = 0
     reader = InputReader(data, is_training=False)
     for images, labels in reader(cfg, 2):
-        d32 = drv32.serve_detections(images)
-        d16 = drv16.serve_detections(images)
-        d32b = drv32b.serve_detections(images)
+        scales = labels["image_scales"]
+        d32 = drv32.serve_detections_preprocessed(images, scales)
+        d16 = drv16.serve_detections_preprocessed(images, scales)
+        d32b = drv32b.serve_detections_preprocessed(images, scales)
         b = images.shape[0]
         gt = np.asarray(labels["groundtruth_data"]).copy()
         gt[..., :4] *= np.asarray(labels["image_scales"])[:, None, None]

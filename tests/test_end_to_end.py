@@ -85,7 +85,7 @@ def test_full_uncertainty_pipeline(tmp_path):
         app = InferImages(driver, infer_dir, calib_dir=calib_dir,
                           auto_labeling=True, opt_params=opt_params,
                           opt_thrs_path=thr_dir, min_score=0.0)
-        batches = ((imgs, labels["image_names"])
+        batches = ((imgs, labels["image_names"], labels["image_scales"])
                    for imgs, labels in val_reader(cfg, 4))
         pred_rows = app.run(batches)
         assert app.count_auto + app.count_skip == 12

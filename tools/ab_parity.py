@@ -277,7 +277,10 @@ def eval_ours(cfg, model, state, val_path, batch):
     img_id = 0
     pairs = []
     for images, labels in reader(cfg, batch):
-        det = driver.serve_detections(images)
+        # reader batches are already normalized — serve_detections would
+        # normalize twice (the r3 AP-collapse artifact)
+        det = driver.serve_detections_preprocessed(
+            images, labels["image_scales"])
         b = images.shape[0]
         boxes = np.asarray(det.boxes)
         rows = np.stack(

@@ -89,7 +89,8 @@ def main():
         vreader = InputReader(val_path, is_training=False)
         img_id, pairs, smax, n_hi = 0, [], 0.0, 0
         for images, labels in vreader(cfg, args.batch):
-            det = driver.serve_detections(images)
+            det = driver.serve_detections_preprocessed(
+                images, labels["image_scales"])
             b = images.shape[0]
             boxes = np.asarray(det.boxes)
             scores = np.asarray(det.scores)

@@ -123,7 +123,8 @@ def main():
     images, _ = next(it)
 
     def serve_step(images, labels):
-        return drv.serve(np.asarray(images, np.float32))
+        # reader output is already normalized+resized
+        return drv.serve_preprocessed(np.asarray(images, np.float32))
 
     t0 = time.perf_counter()
     jax_fetch(serve_step(images, None))

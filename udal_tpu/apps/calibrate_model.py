@@ -45,10 +45,13 @@ class Calibrate:
                                  "pred_classes", "scores", "ious")}
         method = self.config.assign_gt_box or "IoU"
         for images, labels in batches:
-            out = split_serve_outputs(self.config, self.driver.serve(images))
-            gt_data = np.asarray(labels["groundtruth_data"])
             scales = np.asarray(labels.get("image_scales",
                                            np.ones(images.shape[0])))
+            # reader batches are already normalized+resized; pass the
+            # reader's scales so predictions land in the GT frame below
+            out = split_serve_outputs(
+                self.config, self.driver.serve_preprocessed(images, scales))
+            gt_data = np.asarray(labels["groundtruth_data"])
             for i in range(images.shape[0]):
                 n_val = int(out["valid_len"][i])
                 valid_gt = gt_data[i][gt_data[i][:, 6] > 0]

@@ -134,16 +134,33 @@ class InferImages:
 
     # -- main loop -----------------------------------------------------------------
 
-    def run(self, batches: Iterable[Tuple[np.ndarray, List[str]]]
-            ) -> List[Dict]:
-        """Serve (images, names) batches; write prediction_data.txt; return
-        the per-detection dict rows."""
+    def run(self, batches: Iterable[Tuple]) -> List[Dict]:
+        """Serve batches; write prediction_data.txt; return the
+        per-detection dict rows.
+
+        Batches are either ``(raw_images, names)`` — raw pixels, the
+        reference `infer_model.py` file-reading contract — or
+        ``(images, names, image_scales)`` from the eval InputReader, whose
+        images are already normalized+resized (served without a second
+        normalization; scales map boxes to the original frame)."""
         rows: List[Dict] = []
         labeled_names: List[str] = []
         examine_names: List[str] = []
 
-        for images, names in batches:
-            out = split_serve_outputs(self.config, self.driver.serve(images))
+        for batch in batches:
+            if len(batch) == 3:
+                images, names, scales = batch
+                out = split_serve_outputs(
+                    self.config,
+                    self.driver.serve_preprocessed(images, scales))
+                if self.save_visualizations:
+                    from udal_tpu.data.dataloader import denormalize_image
+                    images = denormalize_image(images, self.config.mean_rgb,
+                                               self.config.stddev_rgb)
+            else:
+                images, names = batch
+                out = split_serve_outputs(self.config,
+                                          self.driver.serve(images))
             b = images.shape[0]
             for i in range(b):
                 n_val = int(out["valid_len"][i])

@@ -69,6 +69,10 @@ class ServingDriver:
         self.variables = variables
         self._mc_key = jax.random.PRNGKey(mc_seed)
         self._serve_fn = jax.jit(self._serve_impl)
+        self._serve_pre_fn = jax.jit(self._serve_pre_impl)
+        # cached once: a fresh jax.jit wrapper per call would retrace
+        self._det_fn = jax.jit(self._det_impl)
+        self._det_pre_fn = jax.jit(self._det_pre_impl)
 
     @classmethod
     def create(cls, model_name: str, variables: Any = None,
@@ -132,6 +136,28 @@ class ServingDriver:
                                  use_pallas_nms=self.use_pallas_nms)
         return det.packed()
 
+    def _serve_pre_impl(self, variables, images, scales, key):
+        # already normalized+resized (eval InputReader contract): forward +
+        # postprocess only; `scales` maps boxes back to the original frame
+        cfg = self.config
+        images = images.astype(self.model.dtype)
+        cls_s, box_s = self._forward(variables, images, key)
+        det = postprocess_global(cfg, cls_s, box_s, image_scales=scales,
+                                 use_pallas_nms=self.use_pallas_nms)
+        return det.packed()
+
+    def _det_pre_impl(self, variables, images, scales, key):
+        cfg = self.config
+        images = images.astype(self.model.dtype)
+        cls_s, box_s = self._forward(variables, images, key)
+        return postprocess_global(cfg, cls_s, box_s, image_scales=scales)
+
+    def _det_impl(self, variables, raw_images, key):
+        cfg = self.config
+        images, scales = preprocess_images(raw_images, cfg.image_size,
+                                           cfg.mean_rgb, cfg.stddev_rgb)
+        return self._det_pre_impl(variables, images, scales, key)
+
     def serve(self, raw_images) -> Tuple[jnp.ndarray, ...]:
         """raw uint8/float images [B, H, W, 3] → packed detection tuple
         (boxes⊕sigma_al⊕sigma_mc, scores, classes⊕sigma_cls, valid_len
@@ -139,20 +165,36 @@ class ServingDriver:
         self._mc_key, sub = jax.random.split(self._mc_key)
         return self._serve_fn(self.variables, jnp.asarray(raw_images), sub)
 
+    def serve_preprocessed(self, images, image_scales=None
+                           ) -> Tuple[jnp.ndarray, ...]:
+        """Packed serve of ALREADY normalized+resized images (the eval
+        `InputReader` classic-path contract). `serve()` would normalize a
+        second time — the reference never feeds its dataloader output to
+        its serving driver (`infer_lib.py` reads raw files); batch-fed
+        apps here must use this entry with the reader's ``image_scales``
+        so boxes land in the original-image frame."""
+        images = jnp.asarray(images)
+        if image_scales is None:
+            image_scales = jnp.ones((images.shape[0],), jnp.float32)
+        self._mc_key, sub = jax.random.split(self._mc_key)
+        return self._serve_pre_fn(self.variables, images,
+                                  jnp.asarray(image_scales, jnp.float32), sub)
+
     def serve_detections(self, raw_images) -> Detections:
         """Structured (non-packed) serve."""
-        cfg = self.config
-
-        @jax.jit
-        def run(variables, raw_images, key):
-            images, scales = preprocess_images(raw_images, cfg.image_size,
-                                               cfg.mean_rgb, cfg.stddev_rgb)
-            images = images.astype(self.model.dtype)
-            cls_s, box_s = self._forward(variables, images, key)
-            return postprocess_global(cfg, cls_s, box_s, image_scales=scales)
-
         self._mc_key, sub = jax.random.split(self._mc_key)
-        return run(self.variables, jnp.asarray(raw_images), sub)
+        return self._det_fn(self.variables, jnp.asarray(raw_images), sub)
+
+    def serve_detections_preprocessed(self, images, image_scales=None
+                                      ) -> Detections:
+        """Structured serve of already normalized+resized batches — see
+        `serve_preprocessed`."""
+        images = jnp.asarray(images)
+        if image_scales is None:
+            image_scales = jnp.ones((images.shape[0],), jnp.float32)
+        self._mc_key, sub = jax.random.split(self._mc_key)
+        return self._det_pre_fn(self.variables, images,
+                                jnp.asarray(image_scales, jnp.float32), sub)
 
     def serve_sharded(self, mesh, raw_images) -> Tuple[jnp.ndarray, ...]:
         """Serve a pool-sized batch sharded over the mesh's 'data' axis.

@@ -36,10 +36,16 @@ class Validator:
     def __init__(self, driver: ServingDriver, save_dir: str,
                  calib_dir: Optional[str] = None,
                  infer_augment: Optional[List[str]] = None,
-                 dataset_root: Optional[str] = None):
+                 dataset_root: Optional[str] = None,
+                 preprocessed_batches: bool = True):
         self.driver = driver
         self.config = driver.config
         self.save_dir = save_dir
+        # True (CLI contract): batches come from the eval InputReader,
+        # already normalized+resized — served via `serve_preprocessed` with
+        # the reader's scales. False (reference validate_model.py contract):
+        # batches are raw pixels straight from files — served via `serve`.
+        self.preprocessed_batches = preprocessed_batches
         # per-image occlusion/truncation GT metadata source (KITTI label_2
         # txt / BDD json — `dataset_data.py:25-84`); None -> -1 placeholders
         self.dataset_root = dataset_root
@@ -66,26 +72,46 @@ class Validator:
         """
         rows: List[Dict] = []
         all_scores: List[float] = []
+        from udal_tpu.data.dataloader import (denormalize_image,
+                                              normalize_image)
+
         for images, labels in batches:
+            scales = np.asarray(labels.get("image_scales",
+                                           np.ones(images.shape[0])))
+
+            if self.preprocessed_batches:
+                def _serve(im):
+                    return self.driver.serve_preprocessed(im, scales)
+            else:
+                def _serve(im):
+                    return self.driver.serve(im)
+
             if self.infer_augment:
-                for aug_images, tag in self._augment_variants(images):
+                # variants operate on raw pixels (weather/corruption/histeq
+                # are uint8-domain ops); reader batches arrive normalized
+                if self.preprocessed_batches:
+                    raw = denormalize_image(images, self.config.mean_rgb,
+                                            self.config.stddev_rgb)
+                else:
+                    raw = np.clip(np.asarray(images), 0, 255).astype(np.uint8)
+                gt = np.asarray(labels["groundtruth_data"])
+                names = labels.get("image_names",
+                                   labels.get("source_ids", []))
+                for aug_images, tag in self._augment_variants(raw):
+                    if self.preprocessed_batches:
+                        aug_images = normalize_image(aug_images,
+                                                     self.config.mean_rgb,
+                                                     self.config.stddev_rgb)
                     out_a = split_serve_outputs(self.config,
-                                                self.driver.serve(aug_images))
-                    gt = np.asarray(labels["groundtruth_data"])
-                    scales = np.asarray(labels.get(
-                        "image_scales", np.ones(images.shape[0])))
-                    names = labels.get("image_names",
-                                       labels.get("source_ids", []))
+                                                _serve(aug_images))
                     for i in range(images.shape[0]):
                         name = f"{names[i]}@{tag}" if len(names) > i else tag
                         rows.extend(self._process_image(
                             out_a, i, gt[i], scales[i], name, all_scores))
             t0 = time.perf_counter()
-            out = split_serve_outputs(self.config, self.driver.serve(images))
+            out = split_serve_outputs(self.config, _serve(images))
             self.runtimes.append(time.perf_counter() - t0)
             gt_data = np.asarray(labels["groundtruth_data"])
-            scales = np.asarray(labels.get("image_scales",
-                                           np.ones(images.shape[0])))
             names = labels.get("image_names",
                                labels.get("source_ids",
                                           [str(i) for i in

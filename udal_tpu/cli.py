@@ -177,7 +177,10 @@ def cmd_eval(args) -> None:
     img_id = 0
     conf_correct = []   # (score, hit) pairs for detection-confidence ECE
     for images, labels in reader(config, args.batch_size):
-        det = driver.serve_detections(images)
+        # reader batches are normalized+resized; scales map detections back
+        # to the original-image frame that the scaled GT below lives in
+        det = driver.serve_detections_preprocessed(
+            images, labels["image_scales"])
         b = images.shape[0]
         ids = np.arange(img_id, img_id + b)
         img_id += b
@@ -297,7 +300,9 @@ def cmd_inspect(args) -> None:
                           auto_labeling=auto,
                           opt_params=[0.5, 0.5] if auto else None,
                           opt_thrs_path=args.opt_thrs_path)
-        batches = ((imgs, labels["image_names"])
+        # reader images are normalized+resized → 3-tuple (preprocessed)
+        # contract with the reader's original-frame scales
+        batches = ((imgs, labels["image_names"], labels["image_scales"])
                    for imgs, labels in reader(config, args.batch_size))
         rows = app.run(batches)
         print(f"wrote {len(rows)} detections")

@@ -170,6 +170,15 @@ def normalize_image(image: np.ndarray, mean_rgb, stddev_rgb) -> np.ndarray:
         np.asarray(stddev_rgb, np.float32)
 
 
+def denormalize_image(images: np.ndarray, mean_rgb, stddev_rgb) -> np.ndarray:
+    """Inverse of `normalize_image` → clipped uint8 pixels. For consumers
+    that need raw pixels back from reader batches (overlay rendering,
+    weather/corruption augmentation ladders)."""
+    x = np.asarray(images, np.float32) * np.asarray(stddev_rgb, np.float32) \
+        + np.asarray(mean_rgb, np.float32)
+    return np.clip(np.round(x), 0, 255).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # InputReader
 # ---------------------------------------------------------------------------

@@ -118,7 +118,7 @@ class COCOCallback:
         self.label_map = label_map or {}
         os.makedirs(os.path.join(log_dir, "panels"), exist_ok=True)
 
-        def serve(variables, images, key):
+        def serve(variables, images, scales, key):
             cfg = config
             if cfg.mc_dropout and int(cfg.mc_dropoutsamp or 0) > 1:
                 from udal_tpu.models.efficientdet import mc_forward
@@ -128,7 +128,10 @@ class COCOCallback:
             else:
                 cls_o, box_o = model.apply(variables, images, train=False,
                                            rngs={"dropout": key})
-            return postprocess_global(cfg, list(cls_o), list(box_o))
+            # scales map boxes to the original-image frame the scaled GT
+            # lives in (same fix as ServingDriver.serve_preprocessed)
+            return postprocess_global(cfg, list(cls_o), list(box_o),
+                                      image_scales=scales)
 
         self._serve = jax.jit(serve)
         self._probe_serve = None
@@ -153,7 +156,9 @@ class COCOCallback:
             images, labels = next(it)
             if first_batch is None:
                 first_batch = (np.asarray(images), labels)
-            det = self._serve(variables, np.asarray(images), key)
+            det = self._serve(variables, np.asarray(images),
+                              np.asarray(labels["image_scales"], np.float32),
+                              key)
             b = images.shape[0]
             ids = np.arange(img_id, img_id + b)
             img_id += b
