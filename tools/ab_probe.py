@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--lr-scale", type=float, default=1.0)
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--no-la", action="store_true")
+    ap.add_argument("--no-aug", action="store_true",
+                    help="disable hflip + scale jitter (isolates aug "
+                         "difficulty from trainer health)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -71,6 +74,10 @@ def main():
     cfg.moving_average_decay = 0
     cfg.learning_rate = cfg.learning_rate * args.lr_scale
     cfg.lr_warmup_init = cfg.lr_warmup_init * args.lr_scale
+    if args.no_aug:
+        cfg.input_rand_hflip = False
+        cfg.jitter_min = 1.0
+        cfg.jitter_max = 1.0
     cfg.override({"batch_size": args.batch}, allow_new_keys=True)
 
     spe = max(1, args.steps // 10)
@@ -115,6 +122,23 @@ def main():
                 _ece([p[0] for p in pairs], [p[1] for p in pairs]),
                 smax, n_hi, int(hits), len(pairs))
 
+    def mode_split_diag(state):
+        """Max |cls logit| in eval mode (running BN stats) vs train mode
+        (batch stats) on one val batch — separates 'model diverged' from
+        'running stats diverged' when the eval metrics collapse."""
+        vreader = InputReader(val_path, is_training=False)
+        images, _ = next(iter(vreader(cfg, args.batch)))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        outs_e = model.apply(variables, images, train=False,
+                             rngs={"dropout": jax.random.PRNGKey(0)})
+        outs_t, _ = model.apply(variables, images, train=True,
+                                mutable=["batch_stats"],
+                                rngs={"dropout": jax.random.PRNGKey(0)})
+        cls_e = max(float(np.abs(np.asarray(o)).max()) for o in outs_e[0])
+        cls_t = max(float(np.abs(np.asarray(o)).max()) for o in outs_t[0])
+        return cls_e, cls_t
+
     t0 = time.time()
     rng = jax.random.PRNGKey(42)
     for step in range(1, args.steps + 1):
@@ -123,10 +147,18 @@ def main():
         state, vals = step_fn(state, images, labels, rng)
         if step % args.eval_every == 0 or step == args.steps:
             ap, ece, smax, n_hi, hits, n = diag_eval(state)
+            # BN running-stats health: eval-mode forward diverging while
+            # train loss falls is the classic sign of broken moving stats
+            bn_leaves = jax.tree_util.tree_leaves(state.batch_stats)
+            bn_max = max((float(np.abs(np.asarray(l)).max())
+                          for l in bn_leaves), default=0.0)
+            cls_e, cls_t = mode_split_diag(state)
             print(f"step {step:5d}: AP={ap:.4f} ECE={ece:.4f} "
                   f"loss={float(vals['loss']):.3f} "
                   f"lr={float(vals.get('learning_rate', -1)):.5f} "
                   f"smax={smax:.3f} n>0.1={n_hi} hits={hits}/{n} "
+                  f"bn_max={bn_max:.1f} cls_eval={cls_e:.1f} "
+                  f"cls_train={cls_t:.1f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
     it.close()
 

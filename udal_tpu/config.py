@@ -270,6 +270,16 @@ def default_detection_configs() -> Config:
     h.strategy = None
     h.mixed_precision = False
     h.loss_scale = None
+    # Matmul/conv precision inside the *training* step when params are f32.
+    # TPUs lower f32 dots to bfloat16 multiplies by default
+    # (jax.default_matmul_precision); the reference trains true f32
+    # (`/root/reference/src/train_flags.py:281-284` keeps float32 unless
+    # mixed_float16 is requested), and from-scratch detection training is
+    # unstable at bf16 mantissa width (observed: eval-logit saturation
+    # collapse after ~500 steps on v5e at the d0 op point). 'highest' = f32
+    # accumulation parity; set None to accept the platform default, or use
+    # mixed_precision=True for explicit bf16-compute training.
+    h.train_matmul_precision = "highest"
 
     # -- detection head layout -------------------------------------------------
     h.box_class_repeats = 3

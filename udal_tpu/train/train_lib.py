@@ -224,6 +224,19 @@ def compute_loss(config, model, params, batch_stats, images, labels,
     return total, (loss_vals, new_stats)
 
 
+def _precision_ctx(config):
+    """Trace-time matmul precision for f32 training (see config.py
+    `train_matmul_precision`): TPU lowers f32 dots/convs to bf16 multiplies
+    by default, which destabilizes from-scratch detection training; the
+    reference trains true f32 (`train_flags.py:281-284`)."""
+    import contextlib
+
+    prec = config.get("train_matmul_precision", "highest")
+    if not prec or config.mixed_precision:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(prec)
+
+
 def train_step(config, model, tx, schedule, steps_per_epoch: int,
                state: TrainState, images, labels, rng: jax.Array
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -235,7 +248,8 @@ def train_step(config, model, tx, schedule, steps_per_epoch: int,
         lambda p: compute_loss(config, model, p, state.batch_stats, images,
                                labels, dropout_rng, state.step,
                                steps_per_epoch), has_aux=True)
-    (_, (loss_vals, new_stats)), grads = grad_fn(state.params)
+    with _precision_ctx(config):
+        (_, (loss_vals, new_stats)), grads = grad_fn(state.params)
 
     if config.clip_gradients_norm and config.clip_gradients_norm > 0:
         grads, gnorm = clip_gradients(grads, abs(config.clip_gradients_norm))
@@ -260,7 +274,8 @@ def eval_step(config, model, state: TrainState, images, labels
               ) -> Dict[str, jnp.ndarray]:
     """Validation loss — parity `test_step` (`train_lib.py:1812-1866`)."""
     images, labels = prepare_batch(config, images, labels)
-    outs = model.apply(state.variables, images, train=False)
+    with _precision_ctx(config):
+        outs = model.apply(state.variables, images, train=False)
     cls_outputs, box_outputs = outs[0], outs[1]
     if config.loss_attenuation:
         box_outputs = [loss_lib.clip_uncert_channels(
