@@ -137,3 +137,22 @@ def test_grouped_batch_stats_matches_reference_groups():
     g1 = x[8:].reshape(-1, 3)
     np.testing.assert_allclose(mean[4], g1.mean(0), rtol=1e-5)
     assert not np.allclose(mean[0], mean[4])
+
+
+def test_train_matmul_precision_in_lowered_hlo():
+    """`train_matmul_precision='highest'` must land HIGHEST precision on the
+    step's convs/dots at trace time (TPUs otherwise lower f32 convs to bf16
+    multiplies, which collapses from-scratch training — docs/ROUND3.md)."""
+    cfg, model, state, tx, schedule, images, labels = _setup()
+    import functools
+
+    from udal_tpu.train.train_lib import train_step
+
+    def lower(c):
+        fn = functools.partial(train_step, c, model, tx, schedule, 10)
+        return jax.jit(fn).lower(state, images, labels,
+                                 jax.random.PRNGKey(0)).as_text()
+
+    assert "HIGHEST" in lower(cfg)
+    cfg2, *_ = _setup(train_matmul_precision=None)
+    assert "HIGHEST" not in lower(cfg2)
