@@ -1,0 +1,59 @@
+"""Tolerance assertions over the committed long-horizon A/B curves.
+
+Guards the training-equivalence result in docs/TRAIN_PARITY_AB.md: our
+trainer must stay within tolerance of the live reference trainer
+(/root/reference/src/train_lib.py:1588-1806) on the committed op-128 run
+(docs/ab_parity_r3_op128.json). The curves themselves are produced by
+`python tools/ab_parity.py` (multi-hour); this test only checks that a
+committed run keeps satisfying the documented tolerances, so a regenerated
+JSON that regresses fails CI.
+"""
+
+import json
+import os
+
+import pytest
+
+JSON_PATH = os.path.join(os.path.dirname(__file__), "..", "docs",
+                         "ab_parity_r3_op128.json")
+
+
+@pytest.fixture(scope="module")
+def curves():
+    if not os.path.exists(JSON_PATH):
+        pytest.skip("A/B curves not committed")
+    with open(JSON_PATH) as f:
+        return json.load(f)
+
+
+def _peak(section):
+    return max(p["AP"] for p in section)
+
+
+def test_op_point_is_learnable(curves):
+    # Both frameworks reach solidly non-zero AP (the r2 A/B was at noise
+    # level; this asserts the op point separates learning from noise).
+    assert _peak(curves["reference"]) > 0.15
+    assert _peak(curves["ours_default"]) > 0.15
+
+
+def test_peak_ap_within_tolerance(curves):
+    ref_peak = _peak(curves["reference"])
+    ours_peak = _peak(curves["ours_default"])
+    assert ours_peak >= 0.6 * ref_peak, (ours_peak, ref_peak)
+
+
+def test_final_point_ap_and_ece(curves):
+    ref_final = curves["reference"][-1]
+    ours_final = curves["ours_default"][-1]
+    # The reference destabilizes late at this op point; ours must not.
+    assert ours_final["AP"] >= ref_final["AP"], (ours_final, ref_final)
+    assert ours_final["ECE"] <= 0.06, ours_final
+
+
+def test_strict_mode_curve_if_present(curves):
+    if "ours_strict" not in curves:
+        pytest.skip("ours_strict section not yet run")
+    strict = curves["ours_strict"]
+    assert _peak(strict) > 0.15
+    assert strict[-1]["ECE"] <= 0.08, strict[-1]
