@@ -54,10 +54,12 @@ def test_brisque_like_score_orders_quality():
     from udal_tpu.utils.uncert_plots import brisque_like_score
 
     rng = np.random.RandomState(2)
-    # natural-ish image: smooth structure + texture
+    # natural-ish image: smooth structure + spatially correlated texture
+    # (i.i.d. pixel noise would itself read as a distortion — correctly)
     x, y = np.meshgrid(np.linspace(0, 4, 128), np.linspace(0, 4, 128))
-    clean = (np.sin(x * 3) * np.cos(y * 2) * 60 + 120 +
-             rng.randn(128, 128) * 10)
+    tex = __import__("cv2").GaussianBlur(
+        rng.randn(128, 128) * 25, (0, 0), 1.5)
+    clean = np.sin(x * 3) * np.cos(y * 2) * 60 + 120 + tex
     clean = np.clip(clean, 0, 255).astype(np.uint8)
     blurred = np.asarray(
         __import__("cv2").GaussianBlur(clean, (15, 15), 6))
@@ -111,3 +113,61 @@ def test_infer_overlays_and_buckets(tmp_path):
     assert len(vis) >= 1
     assert (out / "top10" / "images.txt").exists()
     assert (out / "bottom10" / "images.txt").exists()
+
+
+def _ladder_images():
+    """Two disjoint synthetic scene families for the monotonicity check."""
+    import cv2
+
+    ims = []
+    rng = np.random.RandomState(42)
+    for i in range(3):   # family A: smooth harmonic structure + texture
+        h, w = 192, 256
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = (128 + 60 * np.sin(xx / (10 + 5 * i)) *
+                np.cos(yy / (14 + 3 * i)) + 40 * np.sin((xx + yy) / (25 + 4 * i)))
+        tex = cv2.GaussianBlur(rng.randn(h, w).astype(np.float32) * 30,
+                               (0, 0), 1.5 + 0.3 * i)
+        g = np.clip(base + tex, 0, 255)
+        ims.append(np.stack([g, g * 0.9 + 10, g * 0.8 + 20], -1)
+                   .astype(np.uint8))
+    rng = np.random.RandomState(7)
+    for _ in range(3):   # family B: hard-edged boxes over a gradient sky
+        h, w = 160, 224
+        img = np.tile(np.linspace(180, 90, h)[:, None, None],
+                      (1, w, 3)).astype(np.float32)
+        for _ in range(12):
+            x0, y0 = rng.randint(0, w - 20), rng.randint(0, h - 20)
+            x1, y1 = x0 + rng.randint(8, 80), y0 + rng.randint(8, 60)
+            img[y0:min(y1, h), x0:min(x1, w)] = rng.rand(3) * 200 + 20
+        img += cv2.GaussianBlur(rng.randn(h, w, 3).astype(np.float32) * 12,
+                                (0, 0), 1.0)
+        img = cv2.GaussianBlur(img, (3, 3), 0)
+        ims.append(np.clip(img, 0, 255).astype(np.uint8))
+    return ims
+
+
+def test_brisque_like_score_monotone_on_corruption_ladders():
+    """Rank validity of the no-reference proxy (docs/BRISQUE_PROXY.md).
+
+    The reference correlates a trained-SVR BRISQUE with uncertainty
+    (`/root/reference/src/uncertainty_ep_vs_al.py:35-590`); that package is
+    unavailable here, so the proxy's validity claim is per-image rank
+    monotonicity with distortion severity — the property the quadrant
+    analysis consumes. Guards the regression where the pristine-distance
+    score alone was perfectly ANTI-correlated with noise severity.
+    """
+    from scipy.stats import spearmanr
+
+    from udal_tpu.data.augment import apply_corruption
+    from udal_tpu.utils.uncert_plots import brisque_like_score
+
+    sev = np.linspace(0.05, 0.95, 7)
+    for kind in ("bl", "ns", "mb", "ct", "br"):
+        rhos = []
+        for im in _ladder_images():
+            scores = [brisque_like_score(c)
+                      for c in apply_corruption(kind, im, sev)]
+            rhos.append(spearmanr(sev, scores).statistic)
+        assert np.mean(rhos) >= 0.8, (kind, rhos)
+        assert min(rhos) >= 0.3, (kind, rhos)
