@@ -97,3 +97,31 @@ def test_packed_and_structured_preprocessed_agree():
                                np.asarray(det.scores), atol=1e-6)
     np.testing.assert_allclose(np.asarray(packed[0])[..., :4],
                                np.asarray(det.boxes), atol=1e-6)
+
+
+def test_serve_uint8_matches_preprocessed(tmp_path):
+    """Fast-input serving entry: resized uint8 + valid_hw + scales through
+    `serve_preprocessed_uint8` must equal normalizing/masking on host and
+    calling `serve_preprocessed` (the on-device normalization is fused into
+    the serving program, mirroring train_lib.prepare_batch)."""
+    d = _driver()
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 255, (2, 128, 128, 3), np.uint8)
+    valid_hw = np.asarray([[128, 128], [96, 112]], np.int32)
+    scales = np.asarray([1.0, 1.6], np.float32)
+
+    # host-side twin of the fused normalization
+    x = (u8.astype(np.float32) - np.asarray(d.config.mean_rgb)) \
+        / np.asarray(d.config.stddev_rgb)
+    for i in range(2):
+        x[i, valid_hw[i, 0]:] = 0.0
+        x[i, :, valid_hw[i, 1]:] = 0.0
+
+    # same MC key for both calls
+    key0 = d._mc_key
+    out_u8 = [np.asarray(t) for t in
+              d.serve_preprocessed_uint8(u8, valid_hw, scales)]
+    d._mc_key = key0
+    out_f32 = [np.asarray(t) for t in d.serve_preprocessed(x, scales)]
+    for a, b in zip(out_u8, out_f32):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -171,3 +171,38 @@ def test_brisque_like_score_monotone_on_corruption_ladders():
             rhos.append(spearmanr(sev, scores).statistic)
         assert np.mean(rhos) >= 0.8, (kind, rhos)
         assert min(rhos) >= 0.3, (kind, rhos)
+
+
+def test_infer_overlay_boxes_in_image_frame(tmp_path, monkeypatch):
+    """Reader-batch (3-tuple) path: serve_preprocessed returns boxes in the
+    ORIGINAL frame, but overlays draw on the network-size image — the boxes
+    passed to _save_overlay must be mapped back by 1/scale (regression:
+    overlays were drawn ~scale× too large for any image_scales != 1)."""
+    from udal_tpu.apps.infer import InferImages
+    from udal_tpu.apps.serving import ServingDriver
+    from udal_tpu.data.dataloader import normalize_image
+
+    d = ServingDriver.create(
+        "efficientdet-d0", batch_size=1,
+        overrides={"image_size": 128, "num_classes": 8})
+    app = InferImages(d, str(tmp_path / "out"), save_visualizations=True)
+
+    captured = {}
+
+    def fake_overlay(image, name, boxes, classes, scores, rel_al):
+        captured["boxes"] = np.asarray(boxes)
+
+    monkeypatch.setattr(app, "_save_overlay", fake_overlay)
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 255, (1, 128, 128, 3), np.uint8).astype(np.float32)
+    images = normalize_image(raw, d.config.mean_rgb, d.config.stddev_rgb)
+    scale = 2.5
+    rows = app.run([(images, ["a.png"], np.asarray([scale], np.float32))])
+    det_rows = [r for r in rows if r["image_name"] == "a.png"]
+    if not det_rows or "boxes" not in captured:
+        import pytest
+        pytest.skip("no detections above threshold on random input")
+    # prediction rows are original-frame; overlay boxes are image-frame
+    row_boxes = np.asarray([r["bbox"] for r in det_rows])[: len(captured["boxes"])]
+    np.testing.assert_allclose(captured["boxes"] * scale,
+                               row_boxes[:, :4], rtol=1e-5)

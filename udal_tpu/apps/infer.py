@@ -148,6 +148,7 @@ class InferImages:
         examine_names: List[str] = []
 
         for batch in batches:
+            overlay_scales = None
             if len(batch) == 3:
                 images, names, scales = batch
                 out = split_serve_outputs(
@@ -157,6 +158,10 @@ class InferImages:
                     from udal_tpu.data.dataloader import denormalize_image
                     images = denormalize_image(images, self.config.mean_rgb,
                                                self.config.stddev_rgb)
+                    # boxes are in the ORIGINAL frame (serve_preprocessed
+                    # multiplies by image_scales); the only pixels we have
+                    # are network-size, so map boxes back for the overlay
+                    overlay_scales = np.asarray(scales, np.float32)
             else:
                 images, names = batch
                 out = split_serve_outputs(self.config,
@@ -198,8 +203,10 @@ class InferImages:
                         img_u = float(-np.mean(scores))
                     self._image_uncert.append((names[i], img_u))
                 if self.save_visualizations and n_val:
-                    self._save_overlay(images[i], names[i], boxes, classes,
-                                       scores, rel_al)
+                    ov_boxes = boxes if overlay_scales is None \
+                        else boxes / overlay_scales[i]
+                    self._save_overlay(images[i], names[i], ov_boxes,
+                                       classes, scores, rel_al)
                 subdir = ""
                 if self.auto_labeling:
                     ok = combined is not None and self._gate(combined, scores)

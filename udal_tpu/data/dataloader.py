@@ -406,10 +406,6 @@ class InputReader:
             if source is not None:
                 source.close()
 
-    def num_batches_per_epoch(self, batch_size: int) -> int:
-        n = len(self._sharded_order())
-        return max(0, n // batch_size)
-
     def _sharded_order(self) -> np.ndarray:
         order = np.arange(len(self._get_index()))
         if self._shard_id is not None or self._num_shards is not None:
