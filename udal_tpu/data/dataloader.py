@@ -359,6 +359,7 @@ class InputReader:
         _END = object()
 
         def producer():
+            src = None
             try:
                 src = source if source is not None \
                     else self._batches(config, batch_size)
@@ -383,6 +384,13 @@ class InputReader:
                 q.put(_END)
             except BaseException as e:  # surfaced on the consumer side
                 q.put(e)
+            finally:
+                # close the inner generator HERE, on the producer thread:
+                # it owns a ThreadPoolExecutor whose shutdown must not be
+                # left to GC at interpreter exit (daemon threads dying
+                # inside cv2/C++ calls abort the process)
+                if src is not None and src is not source:
+                    src.close()
 
         thread = threading.Thread(target=producer, daemon=True,
                                   name="input-reader-producer")
@@ -403,6 +411,9 @@ class InputReader:
                 yield item
         finally:
             stop.set()
+            # deterministic teardown: wait for the producer to finish its
+            # in-flight batch and release its decode pool before returning
+            thread.join(timeout=10.0)
             if source is not None:
                 source.close()
 
@@ -438,14 +449,24 @@ class InputReader:
         """
         if host_labels is None:
             host_labels = not self._fast_input and nproc == 1
+        # the decode pool must be shut down when this generator closes, not
+        # left to GC at interpreter exit (daemon threads dying inside
+        # cv2/C++ calls abort the process)
+        pool = futures.ThreadPoolExecutor(self._num_workers)
+        try:
+            yield from self._batches_body(config, batch_size, wid, nproc,
+                                          host_labels, pool)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+    def _batches_body(self, config, batch_size, wid, nproc, host_labels,
+                      pool) -> Iterator:
         index = self._get_index()
         order = self._sharded_order()
         rng = np.random.RandomState(self._seed)
         epoch = 0
-        pool = futures.ThreadPoolExecutor(self._num_workers)
         fake_batch = None
         seq = 0
-
         while True:
             if self._is_training:
                 rng.shuffle(order)
