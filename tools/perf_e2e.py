@@ -31,11 +31,14 @@ sys.path.insert(0, REPO)
 
 
 def make_kitti_like_dataset(path: str, n: int, seed: int = 0):
-    """KITTI-shaped JPEGs (1224x370) so decode/resize cost is realistic."""
+    """KITTI-shaped natural-content JPEGs (1224x370) so decode/resize cost
+    is realistic — dense-noise PNG (the test default) decodes ~5x slower
+    than real camera JPEGs and misstates the host pipeline's capacity."""
     from udal_tpu.data.synthetic import write_synthetic_dataset
 
     return write_synthetic_dataset(path, num_images=n, height=370,
-                                   width=1224, num_classes=7, seed=seed)
+                                   width=1224, num_classes=7, seed=seed,
+                                   image_format="jpeg", natural=True)
 
 
 def _drain(reader, it, n_batches, batch, step_fn=None):
@@ -67,6 +70,9 @@ def main():
     ap.add_argument("--images", type=int, default=64)
     ap.add_argument("--batches", type=int, default=16)
     ap.add_argument("--train-steps", type=int, default=12)
+    ap.add_argument("--device-resize", action="store_true",
+                    help="host ships NATIVE uint8; bilinear resize runs "
+                         "on-device (uniform-size datasets)")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "E2E_PIPELINE.json"))
     args = ap.parse_args()
@@ -97,14 +103,17 @@ def main():
 
     report = {"platform": jax.devices()[0].platform,
               "host_cores": os.cpu_count(),
-              "procs": args.procs, "batch": args.batch}
+              "procs": args.procs, "batch": args.batch,
+              "device_resize": args.device_resize}
 
     def mk_reader():
         # fast-input training reader for every stage: infinite stream of
-        # resized uint8 + compact groundtruth (the minimal host work); the
-        # serve stage normalizes on device via serve_preprocessed_uint8
+        # resized (or, with --device-resize, NATIVE) uint8 + compact
+        # groundtruth (the minimal host work); normalization/resize run on
+        # device via serve_preprocessed_uint8 / train prepare_batch
         return InputReader(data, is_training=True, fast_input=True,
-                           num_proc=args.procs, prefetch=3, seed=0)
+                           num_proc=args.procs, prefetch=3, seed=0,
+                           device_resize=args.device_resize)
 
     # 1) host-only producer rate (zero-cost consumer)
     r = mk_reader()
@@ -127,9 +136,12 @@ def main():
 
     def serve_step(images, labels):
         # fast-input contract: resized uint8 + valid_hw/image_scales;
-        # normalization runs inside the jitted serving program
-        return drv.serve_preprocessed_uint8(images, labels["valid_hw"],
-                                            labels["image_scales"])
+        # normalization (and, with device_resize, the bilinear resize)
+        # runs inside the jitted serving program
+        return drv.serve_preprocessed_uint8(
+            images, labels["valid_hw"], labels["image_scales"],
+            warp_scale=labels.get("warp_scale"),
+            warp_offset=labels.get("warp_offset"))
 
     t0 = time.perf_counter()
     jax_fetch(serve_step(images, labels0))

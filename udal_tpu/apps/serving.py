@@ -71,6 +71,7 @@ class ServingDriver:
         self._serve_fn = jax.jit(self._serve_impl)
         self._serve_pre_fn = jax.jit(self._serve_pre_impl)
         self._serve_u8_fn = jax.jit(self._serve_u8_impl)
+        self._serve_native_fn = jax.jit(self._serve_native_impl)
         # single-slot (mesh, program) cache for serve_sample_parallel: a
         # dict keyed on id(mesh) would pin every mesh + executable forever
         self._sample_parallel_cache = None
@@ -164,6 +165,18 @@ class ServingDriver:
         x = x * (rmask[:, :, None] & cmask[:, None, :])[..., None]
         return self._serve_pre_impl(variables, x, scales, key)
 
+    def _serve_native_impl(self, variables, images_u8, warp_scale,
+                           warp_offset, valid_hw, scales, key):
+        # device_resize reader contract: NATIVE-size uint8 in, the bilinear
+        # resize itself runs here (ops.image_ops.warp_resize_batch), then
+        # the uint8 fast-input path (normalize + pad re-zero + serve)
+        from udal_tpu.config import parse_image_size
+        from udal_tpu.ops.image_ops import warp_resize_batch
+
+        x = warp_resize_batch(images_u8, warp_scale, warp_offset,
+                              parse_image_size(self.config.image_size))
+        return self._serve_u8_impl(variables, x, valid_hw, scales, key)
+
     def _det_pre_impl(self, variables, images, scales, key):
         cfg = self.config
         images = images.astype(self.model.dtype)
@@ -199,12 +212,17 @@ class ServingDriver:
                                   jnp.asarray(image_scales, jnp.float32), sub)
 
     def serve_preprocessed_uint8(self, images_u8, valid_hw=None,
-                                 image_scales=None) -> Tuple[jnp.ndarray, ...]:
+                                 image_scales=None, warp_scale=None,
+                                 warp_offset=None) -> Tuple[jnp.ndarray, ...]:
         """Packed serve of RESIZED-but-unnormalized uint8 images — the
         fast-input reader contract (`InputReader(fast_input=True)`).
         Normalization and padding re-zeroing run on device inside the one
         jitted serving program, so the host ships 4x fewer H2D bytes than
-        the f32 path (same design as `train_lib.prepare_batch`)."""
+        the f32 path (same design as `train_lib.prepare_batch`).
+
+        With ``warp_scale``/``warp_offset`` (the ``device_resize`` reader
+        contract) the images are NATIVE-size and the bilinear resize itself
+        also runs on device (`ops.image_ops.warp_resize_batch`)."""
         images_u8 = jnp.asarray(images_u8)
         b, h, w = images_u8.shape[:3]
         if valid_hw is None:
@@ -212,6 +230,13 @@ class ServingDriver:
         if image_scales is None:
             image_scales = jnp.ones((b,), jnp.float32)
         self._mc_key, sub = jax.random.split(self._mc_key)
+        if warp_scale is not None:
+            return self._serve_native_fn(
+                self.variables, images_u8,
+                jnp.asarray(warp_scale, jnp.float32),
+                jnp.asarray(warp_offset, jnp.float32),
+                jnp.asarray(valid_hw, jnp.int32),
+                jnp.asarray(image_scales, jnp.float32), sub)
         return self._serve_u8_fn(self.variables, images_u8,
                                  jnp.asarray(valid_hw, jnp.int32),
                                  jnp.asarray(image_scales, jnp.float32), sub)

@@ -74,8 +74,9 @@ def cmd_train(args) -> None:
     reader = InputReader(args.train_file_pattern, is_training=True,
                          use_fake_data=args.use_fake_data,
                          max_instances_per_image=config.max_instances_per_image,
-                         fast_input=args.fast_input,
-                         num_proc=args.input_procs)
+                         fast_input=args.fast_input or args.device_resize,
+                         num_proc=args.input_procs,
+                         device_resize=args.device_resize)
     steps = args.steps_per_epoch or max(
         1, args.num_examples_per_epoch // args.batch_size)
     train_iter = reader(config, args.batch_size)
@@ -424,6 +425,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--fast_input", action="store_true",
                    help="uint8 H2D + on-device normalize/anchor-labeling "
                         "(cuts host work to decode+augment+resize)")
+    t.add_argument("--device_resize", action="store_true",
+                   help="implies --fast_input; host ships NATIVE-size uint8"
+                        " and the bilinear resize also runs on-device "
+                        "(uniform-size datasets, e.g. KITTI/BDD)")
     t.add_argument("--input_procs", type=int, default=0,
                    help="input worker processes (0 = in-process thread)")
     t.set_defaults(fn=cmd_train)

@@ -198,7 +198,9 @@ class InputReader:
                  shard_id: Optional[int] = None,
                  num_shards: Optional[int] = None,
                  fast_input: bool = False,
-                 num_proc: int = 0):
+                 num_proc: int = 0,
+                 device_resize: bool = False,
+                 native_hw: Optional[Tuple[int, int]] = None):
         """Args beyond the reference contract (``dataloader.py:251-268``):
 
         prefetch: depth of the background producer queue. Batches are
@@ -224,7 +226,17 @@ class InputReader:
           487-526`, but process-parallel so numpy/cv2 scale past the GIL).
           Workers replay the same RNG stream, so batch content is identical
           to single-process mode. 0 = in-process producer thread only.
+        device_resize: (requires fast_input) the host skips the bilinear
+          resize entirely and ships NATIVE-size uint8 images plus per-image
+          warp parameters (``warp_scale``/``warp_offset`` labels); the
+          resize runs on-device (`ops.image_ops.warp_resize_batch`) inside
+          the jitted train/serve program. Removes ~40% of per-image host
+          cost. Requires a uniform native image size across the dataset
+          (e.g. KITTI, BDD) — locked from the first image or passed as
+          ``native_hw``; a larger image later raises.
         """
+        if device_resize and not fast_input:
+            raise ValueError("device_resize requires fast_input=True")
         self._file_pattern = file_pattern
         self._is_training = is_training
         self._use_fake_data = use_fake_data
@@ -238,6 +250,8 @@ class InputReader:
         self._num_shards = num_shards
         self._fast_input = fast_input
         self._num_proc = num_proc
+        self._device_resize = device_resize
+        self._native_hw = tuple(native_hw) if native_hw else None
         self._index: Optional[tfr.TFRecordIndex] = None
         # consumer-side starvation accounting (seconds blocked on the queue
         # vs total); read via `wait_stats()` after/while iterating
@@ -289,7 +303,29 @@ class InputReader:
             scale, sh, sw = scale_factors_to_output(h, w, output_size)
             oy = ox = 0
 
-        if self._fast_input:
+        warp = None
+        if self._fast_input and self._device_resize:
+            # ship the NATIVE image; the bilinear resize itself runs
+            # on-device (ops.image_ops.warp_resize_batch) with these
+            # per-image warp parameters as data
+            if self._native_hw is None:
+                self._native_hw = (h, w)
+            nh, nw = self._native_hw
+            if h > nh or w > nw:
+                raise ValueError(
+                    f"device_resize: image {h}x{w} exceeds the locked "
+                    f"native canvas {nh}x{nw}; pass native_hw= or disable "
+                    "device_resize for variable-size datasets")
+            if (h, w) != (nh, nw):
+                canvas = np.zeros((nh, nw, image.shape[2]), image.dtype)
+                canvas[:h, :w] = image
+                img_out = canvas
+            else:
+                img_out = image
+            warp = np.asarray([sh / h, sw / w, oy, ox], np.float32)
+            valid_hw = (min(sh - oy, output_size[0]),
+                        min(sw - ox, output_size[1]))
+        elif self._fast_input:
             # uint8 all the way: normalization (affine) commutes with the
             # linear resize, so it moves on-device (train_lib.prepare_batch)
             # together with zeroing the pad region recorded in valid_hw
@@ -317,7 +353,7 @@ class InputReader:
             pseudo_p = -np.ones((m,), np.float32)
             pseudo_p[:n] = pseudo[:n]
         return (img_out, boxes_p, classes_p, pseudo_p, 1.0 / scale,
-                ex.source_id, ex.filename, valid_hw)
+                ex.source_id, ex.filename, valid_hw, warp)
 
     def __call__(self, config, batch_size: int) -> Iterator:
         """Yield (images, labels) batches; labels include per-level targets,
@@ -497,6 +533,10 @@ class InputReader:
                     if self._fast_input:
                         labels["valid_hw"] = np.asarray(
                             [r[7] for r in results], np.int32)
+                        if results[0][8] is not None:
+                            warp = np.stack([r[8] for r in results])
+                            labels["warp_scale"] = warp[:, :2]
+                            labels["warp_offset"] = warp[:, 2:]
                     if pseudo is not None:
                         labels["gt_pseudo"] = pseudo
                 else:

@@ -83,7 +83,18 @@ def prepare_batch(config, images, labels):
         (replaces the reference's per-example `AnchorLabeler.label_anchors`
         tf.data map, `/root/reference/src/dataloader.py:398-421`).
     """
-    if images.dtype == jnp.uint8:
+    if "warp_scale" in labels:
+        # device_resize reader: NATIVE-size uint8 in; the bilinear resize
+        # itself runs here (ops.image_ops), per-image warp params as data
+        from udal_tpu.config import parse_image_size
+        from udal_tpu.ops.image_ops import warp_resize_batch
+
+        images = warp_resize_batch(images, labels["warp_scale"],
+                                   labels["warp_offset"],
+                                   parse_image_size(config.image_size))
+        labels = {k: v for k, v in labels.items()
+                  if k not in ("warp_scale", "warp_offset")}
+    if images.dtype == jnp.uint8 or "valid_hw" in labels:
         mean = jnp.asarray(config.mean_rgb, jnp.float32)
         std = jnp.asarray(config.stddev_rgb, jnp.float32)
         x = (images.astype(jnp.float32) - mean) / std
