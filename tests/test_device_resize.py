@@ -146,6 +146,24 @@ def test_serving_native_entry_matches_host_resized(tmp_path):
     assert out[0].shape[-1] == 4 and np.isfinite(out[0]).all()
 
 
+def test_device_resize_mp_workers_match_single_process(tmp_path):
+    """Worker processes replay the same RNG stream in device_resize mode:
+    native images AND warp labels merge bit-identically."""
+    path = _mk_dataset(tmp_path)
+    cfg = _cfg()
+    ref = list(InputReader(path, is_training=False, fast_input=True,
+                           device_resize=True, prefetch=0)(cfg, 2))
+    got = list(InputReader(path, is_training=False, fast_input=True,
+                           device_resize=True, prefetch=2,
+                           num_proc=2)(cfg, 2))
+    assert len(got) == len(ref) == 4
+    for (ri, rl), (gi, gl) in zip(ref, got):
+        np.testing.assert_array_equal(ri, gi)
+        np.testing.assert_array_equal(rl["warp_scale"], gl["warp_scale"])
+        np.testing.assert_array_equal(rl["warp_offset"], gl["warp_offset"])
+        np.testing.assert_array_equal(rl["valid_hw"], gl["valid_hw"])
+
+
 def test_device_resize_requires_fast_input():
     with pytest.raises(ValueError):
         InputReader("x", is_training=False, device_resize=True)
