@@ -88,6 +88,24 @@ def test_cli_eval_runs(tmp_path, dataset, capsys):
     assert "AP:" in out
 
 
+def test_cli_eval_fast_input_matches_classic(tmp_path, dataset):
+    """--fast_input / --device_resize eval: uint8 reader contract through
+    the jitted-normalize (and on-device-resize) serving entries must
+    reproduce the classic f32 path's metrics up to resize rounding."""
+    from udal_tpu import cli
+
+    base = ["eval", "--model_name", "efficientdet-d0", "--model_dir", "_",
+            "--hparams", "num_classes=8,image_size=64",
+            "--batch_size", "4", "--val_file_pattern", dataset]
+    ref = cli.main(base)
+    fast = cli.main(base + ["--fast_input"])
+    dev = cli.main(base + ["--device_resize"])
+    for got in (fast, dev):
+        assert set(got) == set(ref)
+        for k in ref:
+            assert abs(got[k] - ref[k]) < 0.08, (k, got[k], ref[k])
+
+
 def test_cli_inspect_validate(tmp_path, dataset):
     from udal_tpu import cli
 

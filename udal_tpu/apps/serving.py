@@ -72,6 +72,8 @@ class ServingDriver:
         self._serve_pre_fn = jax.jit(self._serve_pre_impl)
         self._serve_u8_fn = jax.jit(self._serve_u8_impl)
         self._serve_native_fn = jax.jit(self._serve_native_impl)
+        self._det_u8_fn = jax.jit(self._det_u8_impl)
+        self._det_native_fn = jax.jit(self._det_native_impl)
         # single-slot (mesh, program) cache for serve_sample_parallel: a
         # dict keyed on id(mesh) would pin every mesh + executable forever
         self._sample_parallel_cache = None
@@ -151,8 +153,8 @@ class ServingDriver:
                                  use_pallas_nms=self.use_pallas_nms)
         return det.packed()
 
-    def _serve_u8_impl(self, variables, images_u8, valid_hw, scales, key):
-        # fast-input serving twin of train_lib.prepare_batch: resized uint8
+    def _u8_prep(self, images_u8, valid_hw):
+        # fast-input device prep, twin of train_lib.prepare_batch: uint8
         # arrives over PCIe (4x less H2D than f32), normalization + padding
         # re-zeroing run fused inside the serving program
         cfg = self.config
@@ -162,8 +164,24 @@ class ServingDriver:
         h, w = x.shape[1], x.shape[2]
         rmask = jnp.arange(h)[None, :] < valid_hw[:, :1]
         cmask = jnp.arange(w)[None, :] < valid_hw[:, 1:]
-        x = x * (rmask[:, :, None] & cmask[:, None, :])[..., None]
-        return self._serve_pre_impl(variables, x, scales, key)
+        return x * (rmask[:, :, None] & cmask[:, None, :])[..., None]
+
+    def _serve_u8_impl(self, variables, images_u8, valid_hw, scales, key):
+        return self._serve_pre_impl(
+            variables, self._u8_prep(images_u8, valid_hw), scales, key)
+
+    def _det_u8_impl(self, variables, images_u8, valid_hw, scales, key):
+        return self._det_pre_impl(
+            variables, self._u8_prep(images_u8, valid_hw), scales, key)
+
+    def _det_native_impl(self, variables, images_u8, warp_scale, warp_offset,
+                         valid_hw, scales, key):
+        from udal_tpu.config import parse_image_size
+        from udal_tpu.ops.image_ops import warp_resize_batch
+
+        x = warp_resize_batch(images_u8, warp_scale, warp_offset,
+                              parse_image_size(self.config.image_size))
+        return self._det_u8_impl(variables, x, valid_hw, scales, key)
 
     def _serve_native_impl(self, variables, images_u8, warp_scale,
                            warp_offset, valid_hw, scales, key):
@@ -256,6 +274,31 @@ class ServingDriver:
         self._mc_key, sub = jax.random.split(self._mc_key)
         return self._det_pre_fn(self.variables, images,
                                 jnp.asarray(image_scales, jnp.float32), sub)
+
+    def serve_detections_preprocessed_uint8(self, images_u8, valid_hw=None,
+                                            image_scales=None,
+                                            warp_scale=None,
+                                            warp_offset=None) -> Detections:
+        """Structured serve of the fast-input reader contract (resized or,
+        with warp params, NATIVE-size uint8) — see
+        `serve_preprocessed_uint8`."""
+        images_u8 = jnp.asarray(images_u8)
+        b, h, w = images_u8.shape[:3]
+        if valid_hw is None:
+            valid_hw = jnp.full((b, 2), jnp.asarray([h, w]), jnp.int32)
+        if image_scales is None:
+            image_scales = jnp.ones((b,), jnp.float32)
+        self._mc_key, sub = jax.random.split(self._mc_key)
+        if warp_scale is not None:
+            return self._det_native_fn(
+                self.variables, images_u8,
+                jnp.asarray(warp_scale, jnp.float32),
+                jnp.asarray(warp_offset, jnp.float32),
+                jnp.asarray(valid_hw, jnp.int32),
+                jnp.asarray(image_scales, jnp.float32), sub)
+        return self._det_u8_fn(self.variables, images_u8,
+                               jnp.asarray(valid_hw, jnp.int32),
+                               jnp.asarray(image_scales, jnp.float32), sub)
 
     def serve_sharded(self, mesh, raw_images) -> Tuple[jnp.ndarray, ...]:
         """Serve a pool-sized batch sharded over the mesh's 'data' axis.

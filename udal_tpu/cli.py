@@ -174,14 +174,28 @@ def cmd_eval(args) -> None:
 
     evaluator = COCOEvaluator(label_map=get_label_map(config.label_map),
                               fine_grid=args.fine_grid)
-    reader = InputReader(args.val_file_pattern, is_training=False)
+    fast = getattr(args, "fast_input", False) or \
+        getattr(args, "device_resize", False)
+    reader = InputReader(args.val_file_pattern, is_training=False,
+                         fast_input=fast,
+                         device_resize=getattr(args, "device_resize", False))
     img_id = 0
     conf_correct = []   # (score, hit) pairs for detection-confidence ECE
     for images, labels in reader(config, args.batch_size):
-        # reader batches are normalized+resized; scales map detections back
-        # to the original-image frame that the scaled GT below lives in
-        det = driver.serve_detections_preprocessed(
-            images, labels["image_scales"])
+        # scales map detections back to the original-image frame that the
+        # scaled GT below lives in
+        if fast:
+            # uint8 fast-input contract: normalization (and, with
+            # device_resize, the bilinear resize) runs inside the jitted
+            # serving program — 4x less H2D than normalized f32 batches
+            det = driver.serve_detections_preprocessed_uint8(
+                images, labels["valid_hw"], labels["image_scales"],
+                warp_scale=labels.get("warp_scale"),
+                warp_offset=labels.get("warp_offset"))
+        else:
+            # classic reader batches arrive normalized+resized
+            det = driver.serve_detections_preprocessed(
+                images, labels["image_scales"])
         b = images.shape[0]
         ids = np.arange(img_id, img_id + b)
         img_id += b
@@ -190,7 +204,17 @@ def cmd_eval(args) -> None:
             [np.repeat(ids[:, None], det.boxes.shape[1], 1),
              x1, y, x2 - x1, y2 - y, np.asarray(det.scores),
              np.asarray(det.classes)], axis=-1)
-        gt = np.asarray(labels["groundtruth_data"])
+        if fast:
+            # synthesize the groundtruth_data contract
+            # [y1,x1,y2,x2,is_crowd,area,class] from the compact gt labels
+            gb = np.asarray(labels["gt_boxes"], np.float32)
+            gc = np.asarray(labels["gt_classes"], np.float32)
+            area = (gb[..., 2] - gb[..., 0]) * (gb[..., 3] - gb[..., 1])
+            gt = np.concatenate(
+                [gb, np.zeros_like(area)[..., None], area[..., None],
+                 gc[..., None]], axis=-1)
+        else:
+            gt = np.asarray(labels["groundtruth_data"])
         gt_scaled = gt.copy()
         gt_scaled[..., :4] *= np.asarray(
             labels["image_scales"])[:, None, None]
@@ -452,6 +476,12 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("eval")
     common(e)
     e.add_argument("--fine_grid", action="store_true")
+    e.add_argument("--fast_input", action="store_true",
+                   help="uint8 reader batches; normalization runs inside "
+                        "the jitted serving program (4x less H2D)")
+    e.add_argument("--device_resize", action="store_true",
+                   help="implies --fast_input; the bilinear resize also "
+                        "runs on-device (uniform-size datasets)")
     e.set_defaults(fn=cmd_eval)
 
     i = sub.add_parser("inspect")
@@ -493,9 +523,9 @@ def cmd_parity_kitti(args) -> None:
     parity.run(args)
 
 
-def main(argv=None) -> None:
+def main(argv=None):
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    return args.fn(args)
 
 
 if __name__ == "__main__":
