@@ -44,14 +44,18 @@ class Calibrate:
                                  "sigma_cls", "logits", "gt_classes",
                                  "pred_classes", "scores", "ious")}
         method = self.config.assign_gt_box or "IoU"
+        from udal_tpu.apps.reader_batches import (groundtruth_from_labels,
+                                                  serve_reader_batch)
+
         for images, labels in batches:
             scales = np.asarray(labels.get("image_scales",
                                            np.ones(images.shape[0])))
-            # reader batches are already normalized+resized; pass the
-            # reader's scales so predictions land in the GT frame below
+            # any reader contract (classic f32 / uint8 / native+warp); the
+            # reader's scales put predictions in the GT frame below
             out = split_serve_outputs(
-                self.config, self.driver.serve_preprocessed(images, scales))
-            gt_data = np.asarray(labels["groundtruth_data"])
+                self.config,
+                serve_reader_batch(self.driver, images, labels))
+            gt_data = groundtruth_from_labels(labels)
             for i in range(images.shape[0]):
                 n_val = int(out["valid_len"][i])
                 valid_gt = gt_data[i][gt_data[i][:, 6] > 0]

@@ -138,18 +138,41 @@ class InferImages:
         """Serve batches; write prediction_data.txt; return the
         per-detection dict rows.
 
-        Batches are either ``(raw_images, names)`` — raw pixels, the
-        reference `infer_model.py` file-reading contract — or
+        Batches are ``(raw_images, names)`` — raw pixels, the reference
+        `infer_model.py` file-reading contract — or
         ``(images, names, image_scales)`` from the eval InputReader, whose
         images are already normalized+resized (served without a second
-        normalization; scales map boxes to the original frame)."""
+        normalization; scales map boxes to the original frame) — or a
+        reader's ``(images, labels)`` pair of ANY contract (classic f32 /
+        fast-input uint8 / device_resize native uint8), dispatched through
+        `apps.reader_batches`."""
         rows: List[Dict] = []
         labeled_names: List[str] = []
         examine_names: List[str] = []
 
         for batch in batches:
             overlay_scales = None
-            if len(batch) == 3:
+            if len(batch) == 2 and isinstance(batch[1], dict):
+                from udal_tpu.apps.reader_batches import (
+                    is_fast_batch, raw_pixels_from_batch, serve_reader_batch)
+
+                images, labels = batch
+                names = list(labels.get("image_names",
+                                        labels.get("source_ids", [])))
+                scales = np.asarray(labels.get(
+                    "image_scales", np.ones(images.shape[0])), np.float32)
+                native = is_fast_batch(images) and "warp_scale" in labels
+                out = split_serve_outputs(
+                    self.config,
+                    serve_reader_batch(self.driver, images, labels))
+                if self.save_visualizations:
+                    images = raw_pixels_from_batch(images, labels,
+                                                   self.config)
+                    # boxes come back in the ORIGINAL frame; native
+                    # (device_resize) pixels ARE original-frame, resized
+                    # pixels are network-frame → map boxes by 1/scale
+                    overlay_scales = None if native else scales
+            elif len(batch) == 3:
                 images, names, scales = batch
                 out = split_serve_outputs(
                     self.config,

@@ -72,33 +72,44 @@ class Validator:
         """
         rows: List[Dict] = []
         all_scores: List[float] = []
-        from udal_tpu.data.dataloader import (denormalize_image,
-                                              normalize_image)
+        from udal_tpu.apps.reader_batches import (groundtruth_from_labels,
+                                                  is_fast_batch,
+                                                  serve_reader_batch)
+        from udal_tpu.data.dataloader import normalize_image
 
         for images, labels in batches:
             scales = np.asarray(labels.get("image_scales",
                                            np.ones(images.shape[0])))
+            fast = is_fast_batch(images)
 
             if self.preprocessed_batches:
                 def _serve(im):
-                    return self.driver.serve_preprocessed(im, scales)
+                    # any reader contract; uint8/fast batches keep their
+                    # valid_hw/warp labels (augments preserve size and the
+                    # uint8 domain — coerce in case a variant returns float)
+                    if fast:
+                        im = np.clip(np.asarray(im), 0,
+                                     255).astype(np.uint8)
+                    return serve_reader_batch(self.driver, im, labels)
             else:
                 def _serve(im):
                     return self.driver.serve(im)
 
             if self.infer_augment:
                 # variants operate on raw pixels (weather/corruption/histeq
-                # are uint8-domain ops); reader batches arrive normalized
-                if self.preprocessed_batches:
+                # are uint8-domain ops); fast-input batches ARE raw uint8,
+                # classic normalized batches are de-normalized first
+                if self.preprocessed_batches and not fast:
+                    from udal_tpu.data.dataloader import denormalize_image
                     raw = denormalize_image(images, self.config.mean_rgb,
                                             self.config.stddev_rgb)
                 else:
                     raw = np.clip(np.asarray(images), 0, 255).astype(np.uint8)
-                gt = np.asarray(labels["groundtruth_data"])
+                gt = groundtruth_from_labels(labels)
                 names = labels.get("image_names",
                                    labels.get("source_ids", []))
                 for aug_images, tag in self._augment_variants(raw):
-                    if self.preprocessed_batches:
+                    if self.preprocessed_batches and not fast:
                         aug_images = normalize_image(aug_images,
                                                      self.config.mean_rgb,
                                                      self.config.stddev_rgb)
@@ -111,7 +122,7 @@ class Validator:
             t0 = time.perf_counter()
             out = split_serve_outputs(self.config, _serve(images))
             self.runtimes.append(time.perf_counter() - t0)
-            gt_data = np.asarray(labels["groundtruth_data"])
+            gt_data = groundtruth_from_labels(labels)
             names = labels.get("image_names",
                                labels.get("source_ids",
                                           [str(i) for i in

@@ -181,21 +181,14 @@ def cmd_eval(args) -> None:
                          device_resize=getattr(args, "device_resize", False))
     img_id = 0
     conf_correct = []   # (score, hit) pairs for detection-confidence ECE
+    from udal_tpu.apps.reader_batches import (groundtruth_from_labels,
+                                              serve_reader_batch)
+
     for images, labels in reader(config, args.batch_size):
-        # scales map detections back to the original-image frame that the
-        # scaled GT below lives in
-        if fast:
-            # uint8 fast-input contract: normalization (and, with
-            # device_resize, the bilinear resize) runs inside the jitted
-            # serving program — 4x less H2D than normalized f32 batches
-            det = driver.serve_detections_preprocessed_uint8(
-                images, labels["valid_hw"], labels["image_scales"],
-                warp_scale=labels.get("warp_scale"),
-                warp_offset=labels.get("warp_offset"))
-        else:
-            # classic reader batches arrive normalized+resized
-            det = driver.serve_detections_preprocessed(
-                images, labels["image_scales"])
+        # any reader contract (classic f32 / uint8 / native+warp); scales
+        # map detections back to the original-image frame that the scaled
+        # GT below lives in
+        det = serve_reader_batch(driver, images, labels, structured=True)
         b = images.shape[0]
         ids = np.arange(img_id, img_id + b)
         img_id += b
@@ -204,17 +197,7 @@ def cmd_eval(args) -> None:
             [np.repeat(ids[:, None], det.boxes.shape[1], 1),
              x1, y, x2 - x1, y2 - y, np.asarray(det.scores),
              np.asarray(det.classes)], axis=-1)
-        if fast:
-            # synthesize the groundtruth_data contract
-            # [y1,x1,y2,x2,is_crowd,area,class] from the compact gt labels
-            gb = np.asarray(labels["gt_boxes"], np.float32)
-            gc = np.asarray(labels["gt_classes"], np.float32)
-            area = (gb[..., 2] - gb[..., 0]) * (gb[..., 3] - gb[..., 1])
-            gt = np.concatenate(
-                [gb, np.zeros_like(area)[..., None], area[..., None],
-                 gc[..., None]], axis=-1)
-        else:
-            gt = np.asarray(labels["groundtruth_data"])
+        gt = groundtruth_from_labels(labels)
         gt_scaled = gt.copy()
         gt_scaled[..., :4] *= np.asarray(
             labels["image_scales"])[:, None, None]
@@ -318,17 +301,26 @@ def cmd_inspect(args) -> None:
         # (`inspector.py:185-204,314-322`); the pseudo-label artifacts feed
         # apps.ssl.STAC.
         auto = args.mode != "inference"
+        fast = getattr(args, "fast_input", False) or \
+            getattr(args, "device_resize", False)
         reader = InputReader(args.val_file_pattern, is_training=False,
-                             names=True)
+                             names=True, fast_input=fast,
+                             device_resize=getattr(args, "device_resize",
+                                                   False))
         app = InferImages(driver, args.output_dir or "infer_out",
                           calib_dir=args.calib_dir,
                           auto_labeling=auto,
                           opt_params=[0.5, 0.5] if auto else None,
                           opt_thrs_path=args.opt_thrs_path)
-        # reader images are normalized+resized → 3-tuple (preprocessed)
-        # contract with the reader's original-frame scales
-        batches = ((imgs, labels["image_names"], labels["image_scales"])
-                   for imgs, labels in reader(config, args.batch_size))
+        if fast:
+            # (images, labels) contract: uint8 batches, normalization (and
+            # with device_resize the bilinear resize) on-device
+            batches = iter(reader(config, args.batch_size))
+        else:
+            # reader images are normalized+resized → 3-tuple (preprocessed)
+            # contract with the reader's original-frame scales
+            batches = ((imgs, labels["image_names"], labels["image_scales"])
+                       for imgs, labels in reader(config, args.batch_size))
         rows = app.run(batches)
         print(f"wrote {len(rows)} detections")
     elif args.mode == "video":
@@ -341,8 +333,12 @@ def cmd_inspect(args) -> None:
         from udal_tpu.apps.validate import Validator
         from udal_tpu.data.dataloader import InputReader
 
+        fast = getattr(args, "fast_input", False) or \
+            getattr(args, "device_resize", False)
         reader = InputReader(args.val_file_pattern, is_training=False,
-                             names=True)
+                             names=True, fast_input=fast,
+                             device_resize=getattr(args, "device_resize",
+                                                   False))
         v = Validator(driver, args.output_dir or "validate_out",
                       calib_dir=args.calib_dir)
         rows = v.run(reader(config, args.batch_size))
@@ -351,8 +347,12 @@ def cmd_inspect(args) -> None:
         from udal_tpu.apps.calibrate_model import Calibrate
         from udal_tpu.data.dataloader import InputReader
 
+        fast = getattr(args, "fast_input", False) or \
+            getattr(args, "device_resize", False)
         reader = InputReader(args.val_file_pattern, is_training=False,
-                             names=True)
+                             names=True, fast_input=fast,
+                             device_resize=getattr(args, "device_resize",
+                                                   False))
         cal = Calibrate(driver, args.output_dir or "calibration")
         cal.run(reader(config, args.batch_size))
         print("calibrators written")
@@ -500,6 +500,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated member model_dirs: serve them as a "
                         "deep ensemble (mean boxes, box-variance epistemic "
                         "sigma, class entropy fusion)")
+    i.add_argument("--fast_input", action="store_true",
+                   help="uint8 reader batches for inference/validate/"
+                        "calibrate modes; normalization runs inside the "
+                        "jitted serving program (4x less H2D)")
+    i.add_argument("--device_resize", action="store_true",
+                   help="implies --fast_input; the bilinear resize also "
+                        "runs on-device (uniform-size datasets)")
     i.set_defaults(fn=cmd_inspect)
 
     pk = sub.add_parser("parity_kitti",
