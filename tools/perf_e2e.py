@@ -73,6 +73,12 @@ def main():
     ap.add_argument("--device-resize", action="store_true",
                     help="host ships NATIVE uint8; bilinear resize runs "
                          "on-device (uniform-size datasets)")
+    ap.add_argument("--image-size", default="1024x512",
+                    help="op-point override (tiny values make a CPU smoke "
+                         "of all three stages feasible)")
+    ap.add_argument("--tiny-model", action="store_true",
+                    help="fpn_cell_repeats=1, box_class_repeats=1 (smoke)")
+    ap.add_argument("--data", default="/tmp/e2e_kitti.tfrecord")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "E2E_PIPELINE.json"))
     args = ap.parse_args()
@@ -89,16 +95,19 @@ def main():
     from udal_tpu.train.train_lib import (create_train_state,
                                           make_jitted_train_step)
 
-    data = "/tmp/e2e_kitti.tfrecord"
+    data = args.data
     if not os.path.exists(data):
         make_kitti_like_dataset(data, args.images)
 
     cfg = get_detection_config("efficientdet-d0")
-    cfg.image_size = "1024x512"
+    cfg.image_size = args.image_size
     cfg.num_classes = 8
     cfg.loss_attenuation = True
     cfg.mc_dropout = True
     cfg.mc_dropoutsamp = 10
+    if args.tiny_model:
+        cfg.fpn_cell_repeats = 1
+        cfg.box_class_repeats = 1
     cfg.override({"batch_size": args.batch}, allow_new_keys=True)
 
     report = {"platform": jax.devices()[0].platform,
