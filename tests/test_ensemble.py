@@ -55,6 +55,25 @@ def test_ensemble_product_path_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out, "prediction_data.txt"))
 
 
+def test_ensemble_uint8_fast_input_entries():
+    """The fast-input serving entries (uint8 / native+warp) flow through the
+    same _forward dispatch, so they serve ensembles too."""
+    from udal_tpu.apps.serving import ServingDriver
+
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = 64
+    cfg.num_classes = 8
+    model, stacked = init_ensemble(cfg, 2, jax.random.PRNGKey(0), (64, 64))
+    driver = ServingDriver(cfg, stacked, batch_size=2, ensemble=True)
+    u8 = (np.random.RandomState(0).rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    out = [np.asarray(t) for t in driver.serve_preprocessed_uint8(u8)]
+    # packed boxes carry the epistemic sigma columns: [4 box + sigma...]
+    assert out[0].shape[:2] == (2, 100) and out[0].shape[-1] >= 8
+    assert np.isfinite(out[0]).all()
+    det = driver.serve_detections_preprocessed_uint8(u8)
+    assert det.sigma_mc is not None
+
+
 def test_ensemble_forward_and_fusion():
     cfg = get_detection_config("efficientdet-d0")
     cfg.image_size = 64
