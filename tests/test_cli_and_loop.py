@@ -178,3 +178,31 @@ def test_train_ssl_cli_stac(tmp_path):
     cfg = yaml.safe_load((tmp_path / "m" / "config.yaml").read_text())
     assert cfg["unlabeled_start"] == 2
     assert cfg["ssl_method"] == "stac"
+
+
+def test_train_ssl_cli_stac_fast_input(tmp_path):
+    """STAC through the fast-input (uint8 + compact gt) contract: both
+    streams emit compact labels; the labeled side's missing gt_pseudo is
+    -1-filled at the zip (composition key-union merge) and anchor labeling
+    runs on-device."""
+    from udal_tpu import cli
+    from udal_tpu.data.synthetic import write_synthetic_dataset
+
+    lab = str(tmp_path / "lab.tfrecord")
+    unl = str(tmp_path / "unl.tfrecord")
+    write_synthetic_dataset(lab, num_images=4, height=64, width=96,
+                            num_classes=7, seed=0)
+    write_synthetic_dataset(unl, num_images=4, height=64, width=96,
+                            num_classes=7, seed=1, pseudo_scores=True)
+    args = cli.build_parser().parse_args([
+        "train_ssl", "--train_file_pattern", lab,
+        "--unlabeled_file_pattern", unl,
+        "--model_dir", str(tmp_path / "m"),
+        "--batch_size", "4", "--steps_per_epoch", "1", "--num_epochs", "1",
+        "--ratio", "0.5", "--ssl_method", "stac", "--fast_input",
+        "--hparams",
+        "image_size=128,num_classes=8,fpn_cell_repeats=1,"
+        "box_class_repeats=1"])
+    args.fn(args)
+    import os
+    assert os.path.exists(tmp_path / "m" / "config.yaml")

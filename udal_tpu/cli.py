@@ -122,9 +122,13 @@ def cmd_train_ssl(args) -> None:
         "csd_BE_thr": args.csd_BE_thr,
     }, allow_new_keys=True)
 
+    fast = getattr(args, "fast_input", False) or \
+        getattr(args, "device_resize", False)
+    dev_rs = getattr(args, "device_resize", False)
     reader_l = InputReader(args.train_file_pattern, is_training=True,
                            max_instances_per_image=
-                           config.max_instances_per_image)
+                           config.max_instances_per_image,
+                           fast_input=fast, device_resize=dev_rs)
     # the unlabeled/pseudo stream gets RandAugment (`train_flags_SSL.py`
     # stac_randaug) via a policy override on its own reader config
     import copy
@@ -134,7 +138,8 @@ def cmd_train_ssl(args) -> None:
         cfg_u.autoaugment_policy = "randaug"
     reader_u = InputReader(args.unlabeled_file_pattern, is_training=True,
                            max_instances_per_image=
-                           config.max_instances_per_image)
+                           config.max_instances_per_image,
+                           fast_input=fast, device_resize=dev_rs)
 
     def make_train_iter():
         it_l = reader_l
@@ -471,6 +476,11 @@ def build_parser() -> argparse.ArgumentParser:
     ts.add_argument("--csd_ramp", action="store_true")
     ts.add_argument("--csd_BE", action="store_true")
     ts.add_argument("--csd_BE_thr", type=float, default=0.5)
+    ts.add_argument("--fast_input", action="store_true",
+                   help="uint8 H2D + on-device normalize/anchor-labeling "
+                        "for both SSL streams")
+    ts.add_argument("--device_resize", action="store_true",
+                   help="implies --fast_input; bilinear resize on-device")
     ts.set_defaults(fn=cmd_train_ssl)
 
     e = sub.add_parser("eval")

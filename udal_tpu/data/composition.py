@@ -18,13 +18,21 @@ import numpy as np
 def _concat_batches(a: Tuple[np.ndarray, Dict], b: Tuple[np.ndarray, Dict]
                     ) -> Tuple[np.ndarray, Dict]:
     images = np.concatenate([a[0], b[0]], axis=0)
+    na, nb = a[0].shape[0], b[0].shape[0]
     labels = {}
-    for k in a[1]:
-        va, vb = a[1][k], b[1].get(k)
-        if isinstance(va, list):
-            labels[k] = list(va) + list(vb if vb is not None else [])
-        elif vb is None:
-            labels[k] = va
+    # union of keys: e.g. with fast_input STAC only the pseudo stream
+    # carries gt_pseudo — the labeled side is filled with -1 (= no pseudo
+    # score), mirroring the classic groundtruth_data column padding below
+    for k in sorted(set(a[1]) | set(b[1])):
+        va, vb = a[1].get(k), b[1].get(k)
+        if isinstance(va if va is not None else vb, list):
+            labels[k] = list(va or []) + list(vb or [])
+        elif va is None or vb is None:
+            present = np.asarray(va if va is not None else vb)
+            fill = -np.ones((na if va is None else nb,) + present.shape[1:],
+                            present.dtype)
+            parts = [fill, present] if va is None else [present, fill]
+            labels[k] = np.concatenate(parts, axis=0)
         else:
             va = np.asarray(va)
             vb = np.asarray(vb)
