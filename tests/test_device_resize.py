@@ -164,6 +164,31 @@ def test_device_resize_mp_workers_match_single_process(tmp_path):
         np.testing.assert_array_equal(rl["valid_hw"], gl["valid_hw"])
 
 
+def test_warp_serve_default_valid_hw_is_network_size(tmp_path):
+    """Regression: with warp params and no valid_hw, the default mask must
+    cover the NETWORK size (the mask applies post-resize), not the native
+    dims — a (64,64) native default on a 128px network blanked 3/4 of the
+    upscaled image."""
+    from udal_tpu.apps.serving import ServingDriver
+
+    d = ServingDriver.create(
+        "efficientdet-d0", batch_size=1,
+        overrides={"image_size": 128, "num_classes": 8,
+                   "fpn_cell_repeats": 1, "box_class_repeats": 1})
+    u8 = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), np.uint8)
+    ws = np.asarray([[2.0, 2.0]], np.float32)   # upscale 64 -> 128
+    wo = np.zeros((1, 2), np.float32)
+    key0 = d._mc_key
+    out_default = [np.asarray(t) for t in d.serve_preprocessed_uint8(
+        u8, warp_scale=ws, warp_offset=wo)]
+    d._mc_key = key0
+    out_full = [np.asarray(t) for t in d.serve_preprocessed_uint8(
+        u8, valid_hw=np.asarray([[128, 128]], np.int32),
+        warp_scale=ws, warp_offset=wo)]
+    for a, b in zip(out_default, out_full):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_device_resize_requires_fast_input():
     with pytest.raises(ValueError):
         InputReader("x", is_training=False, device_resize=True)

@@ -5,15 +5,19 @@ report schema the docs reference. Keeps the judged artifact from
 bit-rotting between on-chip runs."""
 
 import json
+import os
 import sys
 
 import pytest
 
 pytestmark = pytest.mark.slow
 
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools")
+
 
 def test_perf_e2e_all_stages(tmp_path, monkeypatch):
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, TOOLS)
     import perf_e2e
 
     out = str(tmp_path / "e2e.json")

@@ -78,7 +78,9 @@ def main():
                          "of all three stages feasible)")
     ap.add_argument("--tiny-model", action="store_true",
                     help="fpn_cell_repeats=1, box_class_repeats=1 (smoke)")
-    ap.add_argument("--data", default="/tmp/e2e_kitti.tfrecord")
+    # versioned filename: an older cached dataset (the r2 dense-noise PNGs)
+    # must never be silently reused under the realistic-JPEG methodology
+    ap.add_argument("--data", default="/tmp/e2e_kitti_jpg_v3.tfrecord")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "E2E_PIPELINE.json"))
     args = ap.parse_args()

@@ -176,23 +176,21 @@ class ServingDriver:
 
     def _det_native_impl(self, variables, images_u8, warp_scale, warp_offset,
                          valid_hw, scales, key):
+        x = self._warp(images_u8, warp_scale, warp_offset)
+        return self._det_u8_impl(variables, x, valid_hw, scales, key)
+
+    def _warp(self, images_u8, warp_scale, warp_offset):
+        # device_resize reader contract: NATIVE-size uint8 in, the bilinear
+        # resize itself runs here (ops.image_ops.warp_resize_batch)
         from udal_tpu.config import parse_image_size
         from udal_tpu.ops.image_ops import warp_resize_batch
 
-        x = warp_resize_batch(images_u8, warp_scale, warp_offset,
-                              parse_image_size(self.config.image_size))
-        return self._det_u8_impl(variables, x, valid_hw, scales, key)
+        return warp_resize_batch(images_u8, warp_scale, warp_offset,
+                                 parse_image_size(self.config.image_size))
 
     def _serve_native_impl(self, variables, images_u8, warp_scale,
                            warp_offset, valid_hw, scales, key):
-        # device_resize reader contract: NATIVE-size uint8 in, the bilinear
-        # resize itself runs here (ops.image_ops.warp_resize_batch), then
-        # the uint8 fast-input path (normalize + pad re-zero + serve)
-        from udal_tpu.config import parse_image_size
-        from udal_tpu.ops.image_ops import warp_resize_batch
-
-        x = warp_resize_batch(images_u8, warp_scale, warp_offset,
-                              parse_image_size(self.config.image_size))
+        x = self._warp(images_u8, warp_scale, warp_offset)
         return self._serve_u8_impl(variables, x, valid_hw, scales, key)
 
     def _det_pre_impl(self, variables, images, scales, key):
@@ -229,6 +227,33 @@ class ServingDriver:
         return self._serve_pre_fn(self.variables, images,
                                   jnp.asarray(image_scales, jnp.float32), sub)
 
+    def _dispatch_uint8(self, u8_fn, native_fn, images_u8, valid_hw,
+                        image_scales, warp_scale, warp_offset):
+        """Shared defaulting + dispatch for the fast-input uint8 entries."""
+        from udal_tpu.config import parse_image_size
+
+        images_u8 = jnp.asarray(images_u8)
+        b, h, w = images_u8.shape[:3]
+        if valid_hw is None:
+            # default = everything valid. The mask applies to the
+            # NETWORK-size tensor, so with warp params (native-size input)
+            # the full extent is the config target, not the native dims.
+            vh, vw = parse_image_size(self.config.image_size) \
+                if warp_scale is not None else (h, w)
+            valid_hw = jnp.full((b, 2), jnp.asarray([vh, vw]), jnp.int32)
+        if image_scales is None:
+            image_scales = jnp.ones((b,), jnp.float32)
+        self._mc_key, sub = jax.random.split(self._mc_key)
+        if warp_scale is not None:
+            return native_fn(self.variables, images_u8,
+                             jnp.asarray(warp_scale, jnp.float32),
+                             jnp.asarray(warp_offset, jnp.float32),
+                             jnp.asarray(valid_hw, jnp.int32),
+                             jnp.asarray(image_scales, jnp.float32), sub)
+        return u8_fn(self.variables, images_u8,
+                     jnp.asarray(valid_hw, jnp.int32),
+                     jnp.asarray(image_scales, jnp.float32), sub)
+
     def serve_preprocessed_uint8(self, images_u8, valid_hw=None,
                                  image_scales=None, warp_scale=None,
                                  warp_offset=None) -> Tuple[jnp.ndarray, ...]:
@@ -241,23 +266,9 @@ class ServingDriver:
         With ``warp_scale``/``warp_offset`` (the ``device_resize`` reader
         contract) the images are NATIVE-size and the bilinear resize itself
         also runs on device (`ops.image_ops.warp_resize_batch`)."""
-        images_u8 = jnp.asarray(images_u8)
-        b, h, w = images_u8.shape[:3]
-        if valid_hw is None:
-            valid_hw = jnp.full((b, 2), jnp.asarray([h, w]), jnp.int32)
-        if image_scales is None:
-            image_scales = jnp.ones((b,), jnp.float32)
-        self._mc_key, sub = jax.random.split(self._mc_key)
-        if warp_scale is not None:
-            return self._serve_native_fn(
-                self.variables, images_u8,
-                jnp.asarray(warp_scale, jnp.float32),
-                jnp.asarray(warp_offset, jnp.float32),
-                jnp.asarray(valid_hw, jnp.int32),
-                jnp.asarray(image_scales, jnp.float32), sub)
-        return self._serve_u8_fn(self.variables, images_u8,
-                                 jnp.asarray(valid_hw, jnp.int32),
-                                 jnp.asarray(image_scales, jnp.float32), sub)
+        return self._dispatch_uint8(self._serve_u8_fn, self._serve_native_fn,
+                                    images_u8, valid_hw, image_scales,
+                                    warp_scale, warp_offset)
 
     def serve_detections(self, raw_images) -> Detections:
         """Structured (non-packed) serve."""
@@ -282,23 +293,9 @@ class ServingDriver:
         """Structured serve of the fast-input reader contract (resized or,
         with warp params, NATIVE-size uint8) — see
         `serve_preprocessed_uint8`."""
-        images_u8 = jnp.asarray(images_u8)
-        b, h, w = images_u8.shape[:3]
-        if valid_hw is None:
-            valid_hw = jnp.full((b, 2), jnp.asarray([h, w]), jnp.int32)
-        if image_scales is None:
-            image_scales = jnp.ones((b,), jnp.float32)
-        self._mc_key, sub = jax.random.split(self._mc_key)
-        if warp_scale is not None:
-            return self._det_native_fn(
-                self.variables, images_u8,
-                jnp.asarray(warp_scale, jnp.float32),
-                jnp.asarray(warp_offset, jnp.float32),
-                jnp.asarray(valid_hw, jnp.int32),
-                jnp.asarray(image_scales, jnp.float32), sub)
-        return self._det_u8_fn(self.variables, images_u8,
-                               jnp.asarray(valid_hw, jnp.int32),
-                               jnp.asarray(image_scales, jnp.float32), sub)
+        return self._dispatch_uint8(self._det_u8_fn, self._det_native_fn,
+                                    images_u8, valid_hw, image_scales,
+                                    warp_scale, warp_offset)
 
     def serve_sharded(self, mesh, raw_images) -> Tuple[jnp.ndarray, ...]:
         """Serve a pool-sized batch sharded over the mesh's 'data' axis.

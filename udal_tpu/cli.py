@@ -66,17 +66,24 @@ def _restore_variables(args, config):
     return swap_in_ema(state)
 
 
+def _fast_reader_flags(args):
+    """(fast_input, device_resize) for InputReader — device_resize implies
+    fast_input; subcommands without the flags read as (False, False)."""
+    dev = getattr(args, "device_resize", False)
+    return (getattr(args, "fast_input", False) or dev), dev
+
+
 def cmd_train(args) -> None:
     from udal_tpu.data.dataloader import InputReader
     from udal_tpu.train.loop import train_and_evaluate
 
     config = _load_config(args)
+    fast, dev_rs = _fast_reader_flags(args)
     reader = InputReader(args.train_file_pattern, is_training=True,
                          use_fake_data=args.use_fake_data,
                          max_instances_per_image=config.max_instances_per_image,
-                         fast_input=args.fast_input or args.device_resize,
-                         num_proc=args.input_procs,
-                         device_resize=args.device_resize)
+                         fast_input=fast, num_proc=args.input_procs,
+                         device_resize=dev_rs)
     steps = args.steps_per_epoch or max(
         1, args.num_examples_per_epoch // args.batch_size)
     train_iter = reader(config, args.batch_size)
@@ -122,9 +129,7 @@ def cmd_train_ssl(args) -> None:
         "csd_BE_thr": args.csd_BE_thr,
     }, allow_new_keys=True)
 
-    fast = getattr(args, "fast_input", False) or \
-        getattr(args, "device_resize", False)
-    dev_rs = getattr(args, "device_resize", False)
+    fast, dev_rs = _fast_reader_flags(args)
     reader_l = InputReader(args.train_file_pattern, is_training=True,
                            max_instances_per_image=
                            config.max_instances_per_image,
@@ -179,11 +184,9 @@ def cmd_eval(args) -> None:
 
     evaluator = COCOEvaluator(label_map=get_label_map(config.label_map),
                               fine_grid=args.fine_grid)
-    fast = getattr(args, "fast_input", False) or \
-        getattr(args, "device_resize", False)
+    fast, dev_rs = _fast_reader_flags(args)
     reader = InputReader(args.val_file_pattern, is_training=False,
-                         fast_input=fast,
-                         device_resize=getattr(args, "device_resize", False))
+                         fast_input=fast, device_resize=dev_rs)
     img_id = 0
     conf_correct = []   # (score, hit) pairs for detection-confidence ECE
     from udal_tpu.apps.reader_batches import (groundtruth_from_labels,
@@ -306,12 +309,10 @@ def cmd_inspect(args) -> None:
         # (`inspector.py:185-204,314-322`); the pseudo-label artifacts feed
         # apps.ssl.STAC.
         auto = args.mode != "inference"
-        fast = getattr(args, "fast_input", False) or \
-            getattr(args, "device_resize", False)
+        fast, dev_rs = _fast_reader_flags(args)
         reader = InputReader(args.val_file_pattern, is_training=False,
                              names=True, fast_input=fast,
-                             device_resize=getattr(args, "device_resize",
-                                                   False))
+                             device_resize=dev_rs)
         app = InferImages(driver, args.output_dir or "infer_out",
                           calib_dir=args.calib_dir,
                           auto_labeling=auto,
@@ -338,12 +339,10 @@ def cmd_inspect(args) -> None:
         from udal_tpu.apps.validate import Validator
         from udal_tpu.data.dataloader import InputReader
 
-        fast = getattr(args, "fast_input", False) or \
-            getattr(args, "device_resize", False)
+        fast, dev_rs = _fast_reader_flags(args)
         reader = InputReader(args.val_file_pattern, is_training=False,
                              names=True, fast_input=fast,
-                             device_resize=getattr(args, "device_resize",
-                                                   False))
+                             device_resize=dev_rs)
         v = Validator(driver, args.output_dir or "validate_out",
                       calib_dir=args.calib_dir)
         rows = v.run(reader(config, args.batch_size))
@@ -352,12 +351,10 @@ def cmd_inspect(args) -> None:
         from udal_tpu.apps.calibrate_model import Calibrate
         from udal_tpu.data.dataloader import InputReader
 
-        fast = getattr(args, "fast_input", False) or \
-            getattr(args, "device_resize", False)
+        fast, dev_rs = _fast_reader_flags(args)
         reader = InputReader(args.val_file_pattern, is_training=False,
                              names=True, fast_input=fast,
-                             device_resize=getattr(args, "device_resize",
-                                                   False))
+                             device_resize=dev_rs)
         cal = Calibrate(driver, args.output_dir or "calibration")
         cal.run(reader(config, args.batch_size))
         print("calibrators written")
@@ -541,9 +538,18 @@ def cmd_parity_kitti(args) -> None:
 
 
 def main(argv=None):
+    """Programmatic entry: returns the subcommand's result (e.g. the eval
+    metrics dict). Console scripts use `script_main`, which discards the
+    result — setuptools wraps the entry point in sys.exit(), and a truthy
+    return value would otherwise turn success into exit status 1."""
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
 
-if __name__ == "__main__":
+def script_main() -> int:
     main()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(script_main())

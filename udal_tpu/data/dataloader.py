@@ -364,6 +364,15 @@ class InputReader:
         consumer's wait time is ~0 when compute is the bottleneck. With
         ``num_proc > 0`` the decode/augment work itself additionally runs in
         that many worker processes (`udal_tpu.data.mp_loader`)."""
+        if self._device_resize and self._native_hw is None:
+            # lock the native canvas deterministically BEFORE any decode
+            # worker (thread or forked process) runs: the lazy in-_process
+            # lock would race across pool threads and diverge across mp
+            # workers on variable-size datasets. One extra decode of the
+            # first sharded record; forked workers inherit the value.
+            first = parse_detection_example(
+                self._get_index()[int(self._sharded_order()[0])])
+            self._native_hw = tuple(first.image.shape[:2])
         source = None
         if self._num_proc > 0 and not self._use_fake_data:
             from udal_tpu.data.mp_loader import MultiProcessProducer
@@ -394,6 +403,17 @@ class InputReader:
         stop = threading.Event()
         _END = object()
 
+        def stop_aware_put(item) -> None:
+            # every producer-side put must observe stop: a full queue with
+            # a departed consumer would otherwise block forever (and keep
+            # the decode pool alive past the consumer's join timeout)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return
+                except queuelib.Full:
+                    continue
+
         def producer():
             src = None
             try:
@@ -409,17 +429,12 @@ class InputReader:
                                 if isinstance(v, np.ndarray) else v)
                             for k, v in labels.items()}
                         batch = (images, labels)
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.25)
-                            break
-                        except queuelib.Full:
-                            continue
+                    stop_aware_put(batch)
                     if stop.is_set():
                         return
-                q.put(_END)
+                stop_aware_put(_END)
             except BaseException as e:  # surfaced on the consumer side
-                q.put(e)
+                stop_aware_put(e)
             finally:
                 # close the inner generator HERE, on the producer thread:
                 # it owns a ThreadPoolExecutor whose shutdown must not be
