@@ -59,19 +59,18 @@ def test_strict_mode_curve_if_present(curves):
     assert strict[-1]["ECE"] <= 0.08, strict[-1]
 
 
-SEED1_PATH = os.path.join(os.path.dirname(__file__), "..", "docs",
-                          "ab_parity_r3_op128_seed1.json")
-
-
-def test_seed1_replication_if_present():
-    """Seed-1 rerun of the op-128 A/B: the stable-plateau result must not
-    be a lucky seed — ours still learns (peak > 0.15) and holds its final
-    AP at or above the reference's final AP."""
-    if not os.path.exists(SEED1_PATH):
-        pytest.skip("seed-1 A/B not committed")
-    with open(SEED1_PATH) as f:
+@pytest.mark.parametrize("seed", [1, 2])
+def test_seed_replications_if_present(seed):
+    """Seed reruns of the op-128 A/B: the result must not be a lucky
+    seed — ours still learns (peak > 0.15) and holds its final AP at or
+    above the reference's final AP at every committed seed."""
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        f"ab_parity_r3_op128_seed{seed}.json")
+    if not os.path.exists(path):
+        pytest.skip(f"seed-{seed} A/B not committed")
+    with open(path) as f:
         curves = json.load(f)
     if "ours_default" not in curves or "reference" not in curves:
-        pytest.skip("seed-1 A/B incomplete")
+        pytest.skip(f"seed-{seed} A/B incomplete")
     assert _peak(curves["ours_default"]) > 0.15
     assert curves["ours_default"][-1]["AP"] >= curves["reference"][-1]["AP"]
