@@ -21,6 +21,22 @@ from udal_tpu.apps.thresholding import (UncertOptimal, threshold_metrics,
 from udal_tpu.apps.validate import read_validate_results
 
 
+def _safe_corr(a: Sequence[float], b: Sequence[float]) -> float:
+    """Pearson correlation, 0.0 when degenerate — avoids numpy's
+    divide-by-zero-stddev warning/nan, and treats ulp-level spread
+    (constant data up to float rounding) as no correlation rather than
+    returning a garbage ±1."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+
+    def degenerate(x):
+        return x.std() <= 1e-12 * max(1.0, float(np.abs(x).max()))
+
+    if len(a) < 2 or degenerate(a) or degenerate(b):
+        return 0.0
+    return float(np.corrcoef(a, b)[0, 1])
+
+
 def _relativize_rows(rows: List[Dict], key: str) -> np.ndarray:
     out = []
     for r in rows:
@@ -163,7 +179,7 @@ def epistemic_vs_aleatoric(rows: List[Dict],
                 "miscls_rate": float(mis[m].mean()) if m.any() else
                 float("nan"),
             }
-    corr = float(np.corrcoef(ep, al)[0, 1]) if len(rows) > 1 else 0.0
+    corr = _safe_corr(ep, al) if len(rows) > 1 else 0.0
     return {"cells": cells, "correlation": corr, "epistemic": ep,
             "aleatoric": al}
 
@@ -228,8 +244,7 @@ def export_quadrant_crops(rows: List[Dict], image_loader,
                 saved += 1
             counts[(i, j)] = saved
 
-    corr = float(np.corrcoef(eps_used, qualities)[0, 1]) \
-        if len(qualities) > 2 else 0.0
+    corr = _safe_corr(eps_used, qualities) if len(qualities) > 2 else 0.0
     res["crop_counts"] = counts
     res["quality_epistemic_corr"] = corr
     return res
