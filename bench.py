@@ -137,10 +137,25 @@ def _timed_scan(fn, variables, images, n_scan, trials=3):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--approx-topk", action="store_true",
+                    help="opt-in jax.lax.approx_max_k pre-NMS top-k "
+                         "(recall>=0.95 at these shapes); OFF for the "
+                         "official parity bench — this flag exists to "
+                         "measure the opt-in's speedup")
+    ap.add_argument("--skip-ref", action="store_true",
+                    help="skip the reference-style baseline measurement "
+                         "(vs_baseline reported as null)")
+    args = ap.parse_args()
+
     rng = np.random.RandomState(0)
 
     # ---- optimized TPU-native path: bf16, vmap MC axis, batch 8 ----------
     cfg, model = build(jnp.bfloat16)
+    if args.approx_topk:
+        cfg.override({"approx_topk": True}, allow_new_keys=True)
     x = jnp.asarray(rng.rand(BATCH, 512, 1024, 3), jnp.float32)
     variables = jax.jit(lambda: model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -148,20 +163,28 @@ def main():
     t_opt = _timed_scan(_mc_batch_fn(cfg, model), variables, x, K_OPT)
     ips_opt = BATCH * K_OPT / t_opt
 
-    # ---- reference-style schedule: f32, batch 1, sequential MC loop ------
-    cfg32, model32 = build(jnp.float32)
-    v32 = jax.jit(lambda: model32.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        x[:1], train=False))()
-    t_ref = _timed_scan(_ref_style_fn(cfg32, model32), v32, x[:1], K_REF)
-    ips_ref = K_REF / t_ref
+    if args.skip_ref:
+        ratio = None
+    else:
+        # ---- reference-style schedule: f32, batch 1, sequential MC loop --
+        cfg32, model32 = build(jnp.float32)
+        v32 = jax.jit(lambda: model32.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x[:1], train=False))()
+        t_ref = _timed_scan(_ref_style_fn(cfg32, model32), v32, x[:1],
+                            K_REF)
+        ips_ref = K_REF / t_ref
+        ratio = round(ips_opt / ips_ref, 2)
 
+    metric = ("images/sec, 10-pass MC-dropout efficientdet-d0 @1024x512 "
+              "(KITTI op point, incl. on-device uncertainty postprocess)")
+    if args.approx_topk:
+        metric += " [opt-in approx_topk]"
     result = {
-        "metric": "images/sec, 10-pass MC-dropout efficientdet-d0 @1024x512 "
-                  "(KITTI op point, incl. on-device uncertainty postprocess)",
+        "metric": metric,
         "value": round(ips_opt, 2),
         "unit": "images/sec",
-        "vs_baseline": round(ips_opt / ips_ref, 2),
+        "vs_baseline": ratio,
     }
     print(json.dumps(result))
 

@@ -59,6 +59,40 @@ def test_strict_mode_curve_if_present(curves):
     assert strict[-1]["ECE"] <= 0.08, strict[-1]
 
 
+def test_4xdata_scaleup_if_present():
+    """4x-data run (256 train / 48 val, 2400 steps): the late-horizon
+    decline must recede for ours at data scale — AP >= 0.3 at every
+    eval point past half-horizon with flat ECE, and final AP strictly
+    above the reference's (which still collapses at this data scale)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "ab_parity_r3_op128_4xdata.json")
+    if not os.path.exists(path):
+        pytest.skip("4x-data A/B not committed")
+    with open(path) as f:
+        curves = json.load(f)
+    ours = curves["ours_default"]
+    late = [p for p in ours if p["step"] >= 1200]
+    assert late and all(p["AP"] >= 0.3 for p in late), late
+    assert all(p["ECE"] <= 0.04 for p in late), late
+    assert ours[-1]["AP"] >= curves["reference"][-1]["AP"] + 0.2
+
+
+def test_tpu_onchip_run_if_present():
+    """On-chip (v5e) A/B: train_matmul_precision='highest' must hold —
+    the pre-fix run collapsed to AP 0.0 by step 600; the committed fixed
+    run must show solid learning at step 600 and bounded ECE throughout."""
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "ab_parity_r3_op128_tpu.json")
+    if not os.path.exists(path):
+        pytest.skip("on-chip A/B not committed")
+    with open(path) as f:
+        curves = json.load(f)
+    ours = curves["ours_default"]
+    at600 = [p for p in ours if p["step"] == 600]
+    assert at600 and at600[0]["AP"] > 0.1, ours
+    assert all(p["ECE"] <= 0.06 for p in ours), ours
+
+
 @pytest.mark.parametrize("seed", [1, 2])
 def test_seed_replications_if_present(seed):
     """Seed reruns of the op-128 A/B: the result must not be a lucky
