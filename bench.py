@@ -53,7 +53,7 @@ def build(dtype):
     return cfg, model
 
 
-def _mc_batch_fn(cfg, model):
+def _mc_batch_fn(cfg, model, use_pallas_nms=True):
     from udal_tpu.ops.postprocess import postprocess_global
 
     def one_batch(variables, images, key):
@@ -67,7 +67,7 @@ def _mc_batch_fn(cfg, model):
         # kernel
         det = postprocess_global(cfg, list(cls_s), list(box_s),
                                  image_scales=jnp.ones((images.shape[0],)),
-                                 use_pallas_nms=True)
+                                 use_pallas_nms=use_pallas_nms)
         # reduce to a scalar so the scan carry stays tiny but depends on
         # every output (prevents DCE)
         return jnp.sum(det.scores) + jnp.sum(det.boxes) + \
