@@ -77,6 +77,22 @@ def test_4xdata_scaleup_if_present():
     assert ours[-1]["AP"] >= curves["reference"][-1]["AP"] + 0.2
 
 
+def test_4xdata_tpu_replication_if_present():
+    """On-chip 4x-data run: must reach the same plateau as the CPU twin
+    (AP >= 0.3 from step 1800 on, ECE <= 0.04) — on-chip training is
+    numerically equivalent to f32 CPU at data scale."""
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "ab_parity_r3_op128_4xdata_tpu.json")
+    if not os.path.exists(path):
+        pytest.skip("on-chip 4x-data A/B not committed")
+    with open(path) as f:
+        curves = json.load(f)
+    ours = curves["ours_default"]
+    late = [p for p in ours if p["step"] >= 1800]
+    assert late and all(p["AP"] >= 0.3 for p in late), late
+    assert all(p["ECE"] <= 0.04 for p in late), late
+
+
 def test_tpu_onchip_run_if_present():
     """On-chip (v5e) A/B: train_matmul_precision='highest' must hold —
     the pre-fix run collapsed to AP 0.0 by step 600; the committed fixed
