@@ -36,6 +36,7 @@ SWEEP = [
     ("efficientdet-d2", (768, 768), 4, 12),
     ("efficientdet-d3", (896, 896), 4, 8),
     ("efficientdet-d4", (1024, 1024), 2, 6),
+    ("efficientdet-d5", (1280, 1280), 1, 4),
 ]
 
 
