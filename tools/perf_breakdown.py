@@ -121,6 +121,22 @@ def full_fn(cfg, model):
     return f
 
 
+
+def full_fast_fn(cfg, model):
+    """The bench.py program exactly: mc_forward fast path + postprocess."""
+    from udal_tpu.models.efficientdet import mc_forward
+    from udal_tpu.ops.postprocess import postprocess_global
+
+    def f(variables, images, key):
+        cls_s, box_s = mc_forward(model, variables, images, key, T)
+        det = postprocess_global(cfg, list(cls_s), list(box_s),
+                                 image_scales=jnp.ones((images.shape[0],)),
+                                 use_pallas_nms=True)
+        return jnp.sum(det.scores) + jnp.sum(det.boxes) + \
+            jnp.sum(det.valid_len.astype(jnp.float32))
+    return f
+
+
 def backbone_fn(cfg, model):
     from udal_tpu.models.efficientdet import EfficientDetNet
 

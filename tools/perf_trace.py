@@ -27,10 +27,12 @@ def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "fwd"
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 
-    from tools.perf_breakdown import build, full_fn, fwd_fn, fwd_naive_fn
+    from tools.perf_breakdown import (build, full_fast_fn, full_fn, fwd_fn,
+                                  fwd_naive_fn)
 
     cfg, model, variables, x = build(8)
-    fn = {"fwd": fwd_fn, "fwd_naive": fwd_naive_fn, "full": full_fn}[variant](
+    fn = {"fwd": fwd_fn, "fwd_naive": fwd_naive_fn, "full": full_fn,
+      "full_fast": full_fast_fn}[variant](
         cfg, model)
 
     @jax.jit
