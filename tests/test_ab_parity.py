@@ -93,6 +93,24 @@ def test_4xdata_tpu_replication_if_present():
     assert all(p["ECE"] <= 0.04 for p in late), late
 
 
+def test_4xdata_seed1_comparative_if_present():
+    """4x-data seed-1 pair (ours on-chip, reference CPU): the comparative
+    result must hold — ours >= reference at peak AP, final AP, and final
+    ECE (the absolute stabilization is seed-dependent; the win is not)."""
+    base = os.path.join(os.path.dirname(__file__), "..", "docs")
+    p_ours = os.path.join(base, "ab_parity_r3_op128_4xdata_tpu_seed1.json")
+    p_ref = os.path.join(base, "ab_parity_r3_op128_4xdata_ref_seed1.json")
+    if not (os.path.exists(p_ours) and os.path.exists(p_ref)):
+        pytest.skip("4x-data seed-1 pair not committed")
+    with open(p_ours) as f:
+        ours = json.load(f)["ours_default"]
+    with open(p_ref) as f:
+        ref = json.load(f)["reference"]
+    assert _peak(ours) >= _peak(ref)
+    assert ours[-1]["AP"] >= ref[-1]["AP"]
+    assert ours[-1]["ECE"] <= ref[-1]["ECE"]
+
+
 def test_tpu_onchip_run_if_present():
     """On-chip (v5e) A/B: train_matmul_precision='highest' must hold —
     the pre-fix run collapsed to AP 0.0 by step 600; the committed fixed
