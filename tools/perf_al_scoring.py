@@ -1,0 +1,136 @@
+"""Official benchmark for BASELINE config #5: active-learning acquisition
+scoring of an unlabeled pool.
+
+Measures the AL loop's pool-scoring stage end to end at the KITTI op
+point: TFRecord pool → InputReader (device_resize uint8 contract) →
+10-pass MC-dropout `InferImages` serve (bf16, on-device uncertainty
+postprocess, prediction_data.txt written) → `score_images` across the
+full strategy set → top-k `select_images`. This is the path
+`ActiveLearning.run` drives each budget iteration
+(reference: `/root/reference/src/active_learning_loop.py:528-840,994-1136`).
+
+On a pod slice the same pool scoring shards over the mesh
+(`serve_sharded`; exercised by `__graft_entry__.dryrun_multichip`) — one
+chip here, so the headline is img/s through scoring on a single v5e.
+
+Writes docs/AL_SCORING_BENCH.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+STRATEGIES = [
+    "maxentropy", "meanentropy", "maxnormmcbox", "maxnormalbox",
+    "maxmcclass", "comboentropy", "maxental", "maxalluncert",
+    "maxepuncert", "maxsota", "maxalluncert_highep_lowal",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pool", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--select", type=int, default=25)
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke: 16-image pool, 128px, tiny repeats")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+        args.pool, args.batch, args.select = 16, 2, 4
+
+    from tools.perf_e2e import make_kitti_like_dataset
+    from udal_tpu.apps.active_learning import score_images, select_images
+    from udal_tpu.apps.infer import InferImages
+    from udal_tpu.apps.serving import ServingDriver
+    from udal_tpu.config import get_detection_config
+    from udal_tpu.data.dataloader import InputReader
+
+    cfg = get_detection_config("efficientdet-d0")
+    cfg.image_size = "128x128" if args.tiny else "1024x512"
+    cfg.num_classes = 7
+    cfg.loss_attenuation = True
+    cfg.mc_dropout = True
+    cfg.mc_dropoutrate = 0.05
+    cfg.mc_dropoutsamp = 10
+    cfg.is_training_bn = False
+    if args.tiny:
+        cfg.fpn_cell_repeats = 1
+        cfg.box_class_repeats = 1
+        cfg.mc_dropoutsamp = 2
+
+    work = tempfile.mkdtemp(prefix="al_bench_")
+    data = os.path.join(work, "pool.tfrecord")
+    make_kitti_like_dataset(data, args.pool)
+
+    drv = ServingDriver.create("efficientdet-d0",
+                               overrides=dict(cfg.as_dict()),
+                               batch_size=args.batch)
+    app = InferImages(drv, work, min_score=0.0)
+
+    def mk_reader():
+        # eval contract: one ordered pass, no train-time augmentation
+        return InputReader(data, is_training=False, fast_input=True,
+                           prefetch=3, seed=0,
+                           device_resize=not args.tiny)
+
+    # warm-up on a throwaway reader: spin-up + serve compile
+    r0 = mk_reader()
+    it0 = r0(cfg, args.batch)
+    t0 = time.perf_counter()
+    app.run([next(it0)])
+    compile_s = time.perf_counter() - t0
+    it0.close()
+
+    n_batches = args.pool // args.batch
+    reader = mk_reader()
+    it = reader(cfg, args.batch)
+    t0 = time.perf_counter()
+    rows = app.run(next(it) for _ in range(n_batches))
+    serve_s = time.perf_counter() - t0
+    it.close()
+
+    t0 = time.perf_counter()
+    per_strategy = {}
+    for s in STRATEGIES:
+        scores, _, names = score_images(rows, s)
+        picks = select_images(rows, s, args.select)
+        per_strategy[s] = {"n_scored": len(names), "n_picked": len(picks),
+                           "top_score": float(np.max(scores))}
+    score_s = time.perf_counter() - t0
+
+    report = {
+        "metric": "images/sec, AL pool acquisition scoring (BASELINE "
+                  "config #5): MC-dropout serve + uncertainty rows + "
+                  f"{len(STRATEGIES)}-strategy scoring + top-k selection",
+        "pool": args.pool,
+        "batch": args.batch,
+        "img_per_s": round(n_batches * args.batch / (serve_s + score_s), 2),
+        "serve_s": round(serve_s, 2),
+        "score_all_strategies_s": round(score_s, 3),
+        "compile_s": round(compile_s, 1),
+        "wait_fraction": round(reader.wait_stats()["wait_fraction"], 4),
+        "n_detection_rows": len(rows),
+        "strategies": per_strategy,
+    }
+    print(json.dumps({k: v for k, v in report.items()
+                      if k != "strategies"}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
