@@ -93,6 +93,22 @@ def test_4xdata_tpu_replication_if_present():
     assert all(p["ECE"] <= 0.04 for p in late), late
 
 
+def test_op256_4xdata_tpu_if_present():
+    """On-chip 256px 4x-data run: monotone climb to an AP >= 0.3 plateau
+    with flat ECE — no late-horizon decline at 4x the pixels."""
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "ab_parity_r3_op256_4xdata_tpu.json")
+    if not os.path.exists(path):
+        pytest.skip("op256 on-chip A/B not committed")
+    with open(path) as f:
+        ours = json.load(f)["ours_default"]
+    late = [p for p in ours if p["step"] >= 1800]
+    assert late and all(p["AP"] >= 0.3 for p in late), late
+    assert all(p["ECE"] <= 0.05 for p in ours), ours
+    aps = [p["AP"] for p in ours]
+    assert aps == sorted(aps), aps  # monotone climb at this op point
+
+
 def test_4xdata_seed1_comparative_if_present():
     """4x-data seed-1 pair (ours on-chip, reference CPU): the comparative
     result must hold — ours >= reference at peak AP, final AP, and final
