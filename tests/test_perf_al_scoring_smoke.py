@@ -16,7 +16,7 @@ TOOLS = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def test_perf_al_scoring_tiny(tmp_path, monkeypatch):
-    sys.path.insert(0, TOOLS)
+    monkeypatch.syspath_prepend(TOOLS)
     import perf_al_scoring
 
     out = str(tmp_path / "al.json")
@@ -25,7 +25,7 @@ def test_perf_al_scoring_tiny(tmp_path, monkeypatch):
     perf_al_scoring.main()
 
     with open(out) as f:
-        report = json.load(f)
+        report = json.load(f)["arrays"]
     assert report["img_per_s"] > 0
     assert report["n_detection_rows"] > 0
     assert len(report["strategies"]) == 11
@@ -40,7 +40,11 @@ def test_committed_onchip_report_schema():
     if not os.path.exists(path):
         pytest.skip("on-chip AL scoring bench not committed")
     with open(path) as f:
-        report = json.load(f)
+        data = json.load(f)
+    report = data["arrays"] if "arrays" in data else data
     assert report["pool"] >= 256
     assert report["img_per_s"] > 10
     assert len(report["strategies"]) == 11
+    if "dict" in data:
+        # the array-native redesign must beat the per-dict shim
+        assert report["img_per_s"] > data["dict"]["img_per_s"]

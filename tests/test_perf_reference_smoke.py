@@ -18,7 +18,7 @@ TOOLS = os.path.join(os.path.dirname(os.path.dirname(
 
 def test_perf_reference_tiny(tmp_path, monkeypatch):
     pytest.importorskip("tensorflow")
-    sys.path.insert(0, TOOLS)
+    monkeypatch.syspath_prepend(TOOLS)
     import perf_reference
 
     out = str(tmp_path / "ref.json")

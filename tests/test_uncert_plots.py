@@ -206,3 +206,36 @@ def test_infer_overlay_boxes_in_image_frame(tmp_path, monkeypatch):
     row_boxes = np.asarray([r["bbox"] for r in det_rows])[: len(captured["boxes"])]
     np.testing.assert_allclose(captured["boxes"] * scale,
                                row_boxes[:, :4], rtol=1e-5)
+
+
+def test_infer_uncertainty_panels_and_kind_buckets(tmp_path):
+    """With MC dropout + loss attenuation + softmax active, inference writes
+    one overlay panel per decoded uncertainty (plain, _mean_albox,
+    _mean_epbox, _max_epcls, _entropy — ref `infer_model.py:962-1059`) and
+    per-kind lower/upper uncertainty buckets with contact sheets
+    (ref `infer_model.py:476-552`)."""
+    from udal_tpu.apps.infer import InferImages
+    from udal_tpu.apps.serving import ServingDriver
+
+    d = ServingDriver.create(
+        "efficientdet-d0", batch_size=2,
+        overrides={"image_size": 128, "num_classes": 8,
+                   "loss_attenuation": True, "enable_softmax": True,
+                   "mc_dropout": True, "mc_dropoutrate": 0.05,
+                   "mc_dropoutsamp": 2, "fpn_cell_repeats": 1,
+                   "box_class_repeats": 1, "is_training_bn": False})
+    app = InferImages(d, str(tmp_path / "out"), save_visualizations=True,
+                      bucket_fraction=0.5)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (2, 96, 160, 3), np.uint8).astype(np.float32)
+    app.run([(imgs, ["a.png", "b.png"])])
+    out = tmp_path / "out"
+    vis = {p.name for p in (out / "visualizations").glob("*.png")}
+    assert "a.png"[:-4] + ".png" in vis
+    for suffix in ("_mean_albox", "_mean_epbox", "_max_epcls", "_entropy"):
+        assert any(n.endswith(suffix + ".png") for n in vis), suffix
+    for kind in ("albox", "mcbox", "mcclass", "entropy"):
+        for tag in ("lower_uncert", "upper_uncert"):
+            bd = out / "uncert" / tag / kind
+            assert (bd / "images.txt").exists(), (tag, kind)
+            assert (bd / "contact_sheet.png").exists(), (tag, kind)

@@ -3,11 +3,18 @@ scoring of an unlabeled pool.
 
 Measures the AL loop's pool-scoring stage end to end at the KITTI op
 point: TFRecord pool → InputReader (device_resize uint8 contract) →
-10-pass MC-dropout `InferImages` serve (bf16, on-device uncertainty
-postprocess, prediction_data.txt written) → `score_images` across the
-full strategy set → top-k `select_images`. This is the path
-`ActiveLearning.run` drives each budget iteration
-(reference: `/root/reference/src/active_learning_loop.py:528-840,994-1136`).
+10-pass MC-dropout serve (bf16, on-device uncertainty postprocess) →
+array-native pool collection (`apps.al_scoring.collect_pool`: packed
+[n_images, max_dets, ...] arrays, NO per-detection python dicts) →
+all 11 strategies scored as vectorized masked reductions → top-k
+selection. This is the path `ActiveLearning.run` drives each budget
+iteration (reference: `/root/reference/src/active_learning_loop.py:
+528-840,994-1136`, whose per-dict host loop the array path replaces;
+`--dict-path` measures the legacy artifact-compatible shim instead).
+
+Strategy names follow the reference grammar (README "Active Learning"):
+the metric is the LAST underscore token; combination families are
+combo/ental/alluncert/epuncert/sota/highep_lowal.
 
 On a pod slice the same pool scoring shards over the mesh
 (`serve_sharded`; exercised by `__graft_entry__.dryrun_multichip`) — one
@@ -28,17 +35,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 STRATEGIES = [
-    "maxentropy", "meanentropy", "maxnormmcbox", "maxnormalbox",
-    "maxmcclass", "comboentropy", "maxental", "maxalluncert",
-    "maxepuncert", "maxsota", "maxalluncert_highep_lowal",
+    "entropy", "mean_entropy", "norm_mcbox", "norm_albox",
+    "mcclass", "combo", "ental", "alluncert",
+    "epuncert", "sota", "alluncert_highep_lowal",
 ]
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pool", type=int, default=256)
+    ap.add_argument("--pool", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--select", type=int, default=25)
+    ap.add_argument("--select", type=int, default=205)
+    ap.add_argument("--dict-path", action="store_true",
+                    help="measure the legacy per-detection dict shim")
+    ap.add_argument("--ckpt", default=None,
+                    help="restore model variables from this checkpoint dir "
+                         "(trained model -> non-degenerate rankings)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: 16-image pool, 128px, tiny repeats")
     ap.add_argument("--out", default=None)
@@ -51,6 +63,7 @@ def main():
         args.pool, args.batch, args.select = 16, 2, 4
 
     from tools.perf_e2e import make_kitti_like_dataset
+    from udal_tpu.apps import al_scoring as als
     from udal_tpu.apps.active_learning import score_images, select_images
     from udal_tpu.apps.infer import InferImages
     from udal_tpu.apps.serving import ServingDriver
@@ -74,10 +87,17 @@ def main():
     data = os.path.join(work, "pool.tfrecord")
     make_kitti_like_dataset(data, args.pool)
 
-    drv = ServingDriver.create("efficientdet-d0",
+    variables = None
+    if args.ckpt:
+        from udal_tpu.train.train_lib import create_train_state
+        from udal_tpu.utils.checkpoint import restore_checkpoint, swap_in_ema
+
+        _, state, _, _ = create_train_state(cfg, jax.random.PRNGKey(0), 1)
+        state, _ = restore_checkpoint(args.ckpt, state)
+        variables = swap_in_ema(state)
+    drv = ServingDriver.create("efficientdet-d0", variables=variables,
                                overrides=dict(cfg.as_dict()),
                                batch_size=args.batch)
-    app = InferImages(drv, work, min_score=0.0)
 
     def mk_reader():
         # eval contract: one ordered pass, no train-time augmentation
@@ -85,50 +105,102 @@ def main():
                            prefetch=3, seed=0,
                            device_resize=not args.tiny)
 
-    # warm-up on a throwaway reader: spin-up + serve compile
-    r0 = mk_reader()
-    it0 = r0(cfg, args.batch)
-    t0 = time.perf_counter()
-    app.run([next(it0)])
-    compile_s = time.perf_counter() - t0
-    it0.close()
-
     n_batches = args.pool // args.batch
-    reader = mk_reader()
-    it = reader(cfg, args.batch)
-    t0 = time.perf_counter()
-    rows = app.run(next(it) for _ in range(n_batches))
-    serve_s = time.perf_counter() - t0
-    it.close()
 
-    t0 = time.perf_counter()
-    per_strategy = {}
-    for s in STRATEGIES:
-        scores, _, names = score_images(rows, s)
-        picks = select_images(rows, s, args.select)
-        per_strategy[s] = {"n_scored": len(names), "n_picked": len(picks),
-                           "top_score": float(np.max(scores))}
-    score_s = time.perf_counter() - t0
+    def run_arrays():
+        r0 = mk_reader()
+        it0 = r0(cfg, args.batch)
+        t0 = time.perf_counter()
+        als.collect_pool(drv, [next(it0)])
+        compile_s = time.perf_counter() - t0
+        it0.close()
+
+        reader = mk_reader()
+        it = reader(cfg, args.batch)
+        t0 = time.perf_counter()
+        pool = als.collect_pool(drv, (next(it) for _ in range(n_batches)))
+        serve_s = time.perf_counter() - t0
+        it.close()
+
+        t0 = time.perf_counter()
+        per_strategy = {}
+        for s in STRATEGIES:
+            scores, _, names = als.score_pool(pool, s, opt_params=[0.5, 0.5])
+            picks = als.select_pool(pool, s, args.select,
+                                    opt_params=[0.5, 0.5])
+            per_strategy[s] = {
+                "n_scored": len(names), "n_picked": len(picks),
+                "top_score": float(np.max(scores)),
+                "distinct_scores": int(np.unique(
+                    np.round(scores, 12)).size)}
+        score_s = time.perf_counter() - t0
+        return compile_s, serve_s, score_s, pool.n_detections, \
+            per_strategy, reader.wait_stats()["wait_fraction"]
+
+    def run_dicts():
+        app = InferImages(drv, work, min_score=0.0)
+        r0 = mk_reader()
+        it0 = r0(cfg, args.batch)
+        t0 = time.perf_counter()
+        app.run([next(it0)])
+        compile_s = time.perf_counter() - t0
+        it0.close()
+
+        reader = mk_reader()
+        it = reader(cfg, args.batch)
+        t0 = time.perf_counter()
+        rows = app.run(next(it) for _ in range(n_batches))
+        serve_s = time.perf_counter() - t0
+        it.close()
+
+        t0 = time.perf_counter()
+        per_strategy = {}
+        for s in STRATEGIES:
+            scores, _, names = score_images(rows, s, opt_params=[0.5, 0.5])
+            picks = select_images(rows, s, args.select,
+                                  opt_params=[0.5, 0.5])
+            per_strategy[s] = {
+                "n_scored": len(names), "n_picked": len(picks),
+                "top_score": float(np.max(scores)),
+                "distinct_scores": int(np.unique(
+                    np.round(scores, 12)).size)}
+        score_s = time.perf_counter() - t0
+        return compile_s, serve_s, score_s, len(rows), per_strategy, \
+            reader.wait_stats()["wait_fraction"]
+
+    compile_s, serve_s, score_s, n_rows, per_strategy, wait = (
+        run_dicts() if args.dict_path else run_arrays())
 
     report = {
         "metric": "images/sec, AL pool acquisition scoring (BASELINE "
-                  "config #5): MC-dropout serve + uncertainty rows + "
-                  f"{len(STRATEGIES)}-strategy scoring + top-k selection",
+                  "config #5): MC-dropout serve + " +
+                  ("per-detection dict rows" if args.dict_path
+                   else "array-native pool collection") +
+                  f" + {len(STRATEGIES)}-strategy scoring + top-k selection",
+        "path": "dict" if args.dict_path else "arrays",
         "pool": args.pool,
         "batch": args.batch,
+        "ckpt": args.ckpt,
         "img_per_s": round(n_batches * args.batch / (serve_s + score_s), 2),
         "serve_s": round(serve_s, 2),
         "score_all_strategies_s": round(score_s, 3),
         "compile_s": round(compile_s, 1),
-        "wait_fraction": round(reader.wait_stats()["wait_fraction"], 4),
-        "n_detection_rows": len(rows),
+        "wait_fraction": round(wait, 4),
+        "n_detection_rows": n_rows,
         "strategies": per_strategy,
     }
     print(json.dumps({k: v for k, v in report.items()
                       if k != "strategies"}))
     if args.out:
+        out = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                out = json.load(f)
+            if "img_per_s" in out:       # legacy single-section file
+                out = {}
+        out["arrays" if not args.dict_path else "dict"] = report
         with open(args.out, "w") as f:
-            json.dump(report, f, indent=1)
+            json.dump(out, f, indent=1)
         print(f"wrote {args.out}", file=sys.stderr)
 
 

@@ -52,8 +52,19 @@ def measure_reference(args):
     os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
     from udal_tpu.utils.reference_compat import (add_reference_to_path,
                                                  stub_reference_deps)
-    stub_reference_deps()
+    cleanup = stub_reference_deps()
     add_reference_to_path()
+    try:
+        return _measure_reference_inner(args)
+    finally:
+        # Drop the stub modules + reference sys.path entry so an in-process
+        # pytest session can't be fooled by them afterwards (the stub
+        # helper's docstring warns about exactly this).
+        if callable(cleanup):
+            cleanup()
+
+
+def _measure_reference_inner(args):
     import tensorflow as tf
 
     import efficientdet_keras
@@ -86,8 +97,13 @@ def measure_reference(args):
         return model(images, training=False, pre_mode=None,
                      post_mode="global")
 
+    # Hoist the host->TF conversion out of the timed call so both sections
+    # are timed over identical input-handling work (the JAX section also
+    # converts its input to a device array once, outside the loop).
+    tx = tf.constant(x)
+
     def call():
-        out = serve(tf.constant(x))
+        out = serve(tx)
         # Force host materialization of the detections like a real consumer.
         np.asarray(out[0])
 
@@ -166,23 +182,43 @@ def main():
     args = ap.parse_args()
 
     sections = [s.strip() for s in args.sections.split(",") if s.strip()]
+    op_point = (f"efficientdet-d0 @{args.width}x{args.height}, "
+                f"{args.num_classes} classes, loss_attenuation, "
+                f"mc_dropoutrate 0.05, T={args.mc_samples}, "
+                f"batch {args.batch}, f32, network+uncertainty "
+                "postprocess on pre-resized frames (bench.py surface)")
     result = {
-        "op_point": (f"efficientdet-d0 @{args.width}x{args.height}, "
-                     f"{args.num_classes} classes, loss_attenuation, "
-                     f"mc_dropoutrate 0.05, T={args.mc_samples}, "
-                     f"batch {args.batch}, f32, network+uncertainty "
-                     "postprocess on pre-resized frames (bench.py surface)"),
+        "op_point": op_point,
         "hardware": f"same host CPU ({os.cpu_count()} core), both sections",
         "warmup": args.warmup, "bm_runs": args.bm_runs,
     }
+    # op_point is also stored per section so a split-run merge can verify
+    # both sections were measured at the same settings before recomputing
+    # the judged ratio.
     if "reference" in sections:
         result["reference_tf_cpu"] = measure_reference(args)
+        result["reference_tf_cpu"]["op_point"] = op_point
     if "ours" in sections:
         result["udal_tpu_jax_cpu"] = measure_ours(args)
-    if "reference_tf_cpu" in result and "udal_tpu_jax_cpu" in result:
-        result["ratio_same_cpu"] = round(
-            result["udal_tpu_jax_cpu"]["img_per_s"]
-            / result["reference_tf_cpu"]["img_per_s"], 2)
+        result["udal_tpu_jax_cpu"]["op_point"] = op_point
+
+    def _ratio(report):
+        ref = report.get("reference_tf_cpu")
+        ours = report.get("udal_tpu_jax_cpu")
+        if not (ref and ours):
+            return None
+        if ref.get("op_point", op_point) != ours.get("op_point", op_point):
+            print("WARNING: sections measured at DIFFERENT op points; "
+                  "refusing to compute ratio_same_cpu:\n"
+                  f"  reference: {ref.get('op_point')}\n"
+                  f"  ours:      {ours.get('op_point')}", file=sys.stderr)
+            return None
+        # Unrounded so downstream checks aren't bitten by 2-dp rounding.
+        return ours["img_per_s"] / ref["img_per_s"]
+
+    r = _ratio(result)
+    if r is not None:
+        result["ratio_same_cpu"] = r
 
     if args.out:
         existing = {}
@@ -192,11 +228,10 @@ def main():
         # Merge so the two sections can be measured in separate runs
         # (keeps the single host core uncontended per section).
         existing.update(result)
-        if ("reference_tf_cpu" in existing and "udal_tpu_jax_cpu" in existing
-                and "ratio_same_cpu" not in result):
-            existing["ratio_same_cpu"] = round(
-                existing["udal_tpu_jax_cpu"]["img_per_s"]
-                / existing["reference_tf_cpu"]["img_per_s"], 2)
+        existing.pop("ratio_same_cpu", None)
+        r = _ratio(existing)
+        if r is not None:
+            existing["ratio_same_cpu"] = r
         result = existing
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)

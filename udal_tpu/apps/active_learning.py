@@ -225,7 +225,14 @@ def select_images(rows: List[Dict], strategy: str, num_per_iter: int,
                                replace=False))
 
     scores, classes, names = score_images(rows, strategy, opt_params)
+    return select_from_scores(scores, classes, names, strategy, num_per_iter)
 
+
+def select_from_scores(scores: np.ndarray, classes: Sequence,
+                       names: Sequence[str], strategy: str,
+                       num_per_iter: int) -> List[str]:
+    """Selection from per-image scores — shared by the dict path above and
+    the array-native path (`apps.al_scoring.select_pool`)."""
     if "perc" in strategy:
         flat = np.concatenate([np.asarray(c) for c in classes])
         cls_names = np.unique(flat)

@@ -96,6 +96,156 @@ def calculate_set_similarity(set_a: Dict[int, Dict[str, List]],
     return w_stats * stat_sim + w_ratio * ratio_sim
 
 
+# ---------------------------------------------------------------------------
+# Reference-parity similarity machinery
+# (`/root/reference/src/active_learning_eval.py:458-585,946-1123`)
+# ---------------------------------------------------------------------------
+
+def emp_kl_divergence(sample_p: np.ndarray, sample_q: np.ndarray) -> float:
+    """Nearest-neighbour KL estimator for continuous samples (Pérez-Cruz
+    2008) — parity `emp_KL_divergence` (`active_learning_eval.py:458-494`).
+
+    sample_p/sample_q: [n, d] rows of samples.
+    """
+    from scipy.spatial import KDTree
+
+    sample_p = np.asarray(sample_p, np.float64)
+    sample_q = np.asarray(sample_q, np.float64)
+    n_p, d = sample_p.shape
+    n_q, d_q = sample_q.shape
+    if d != d_q:
+        raise ValueError("sample sets must share dimensionality")
+    tree_p = KDTree(sample_p)
+    tree_q = KDTree(sample_q)
+    dist_p = tree_p.query(sample_p, k=2, eps=0.01, p=2)[0][:, 1]
+    dist_q = tree_q.query(sample_p, k=1, eps=0.01, p=2)[0]
+    return float(-np.log(dist_p / dist_q).sum() * d / n_p
+                 + np.log(n_q / (n_p - 1)))
+
+
+def empirical_jsd(P: np.ndarray, Q: np.ndarray, num_samples: int = 10000,
+                  seed: int = 42) -> float:
+    """Empirical Jensen–Shannon divergence between [n, d] sample sets —
+    parity `empirical_jensen_shannon_divergence`
+    (`active_learning_eval.py:497-585`): log-transform, per-set gaussian
+    KDE, resample, KDE of the pooled samples as the midpoint M, then
+    0.5*(KL(P||M)+KL(Q||M)) via the nearest-neighbour estimator."""
+    from scipy.stats import gaussian_kde
+
+    log_p = np.log(np.asarray(P, np.float64).T)
+    log_q = np.log(np.asarray(Q, np.float64).T)
+    log_p = log_p[:, np.all(np.isfinite(log_p), axis=0)]
+    log_q = log_q[:, np.all(np.isfinite(log_q), axis=0)]
+    if log_p.size == 0 or log_q.size == 0:
+        raise ValueError("filtered data is empty, cannot build the KDE")
+    kde_p = gaussian_kde(log_p)
+    kde_q = gaussian_kde(log_q)
+    s_p = kde_p.resample(size=num_samples, seed=seed)
+    s_q = kde_q.resample(size=num_samples, seed=seed)
+    kde_m = gaussian_kde(np.concatenate((s_p, s_q), axis=1))
+    s_m = kde_m.resample(size=num_samples, seed=seed)
+    samples_p, samples_q, samples_m = np.exp(s_p), np.exp(s_q), np.exp(s_m)
+    return 0.5 * (emp_kl_divergence(samples_p.T, samples_m.T)
+                  + emp_kl_divergence(samples_q.T, samples_m.T))
+
+
+def collect_crop_metrics(samples: Sequence[Tuple[np.ndarray, np.ndarray,
+                                                 Sequence]],
+                         classes: Sequence) -> Dict[object, list]:
+    """Per-class [3, n_crops] metric stack (aspect ratio, mean 2-D DCT,
+    mean 8x8x8 color histogram) over GT crops — parity `collect_metrics`
+    (`active_learning_eval.py:1034-1123`). Crops with min side <= 2 px are
+    skipped; classes absent from a set stay []."""
+    import cv2
+    from scipy.fft import dct
+
+    out: Dict[object, list] = {cl: [] for cl in classes}
+    acc: Dict[object, List[list]] = {cl: [] for cl in classes}
+    for image, boxes, labels in samples:
+        image = np.asarray(image)
+        for box, cl in zip(np.asarray(boxes), list(labels)):
+            if cl not in acc:
+                continue
+            y1, x1, y2, x2 = map(int, box)
+            crop = image[y1:y2, x1:x2, :]
+            if crop.size == 0 or min(crop.shape[0], crop.shape[1]) <= 2:
+                continue
+            aspect = crop.shape[1] / crop.shape[0]
+            avg_dct = float(np.mean(dct(dct(np.asarray(crop, np.float64),
+                                            axis=0, norm="ortho"),
+                                        axis=1, norm="ortho")))
+            hist = cv2.calcHist([np.ascontiguousarray(crop, np.uint8)],
+                                [0, 1, 2], None, [8, 8, 8],
+                                [0, 256, 0, 256, 0, 256]).flatten()
+            acc[cl].append([aspect, avg_dct,
+                            float(np.nan_to_num(np.mean(hist), nan=1))])
+    for cl in classes:
+        if acc[cl]:
+            arr = np.asarray(acc[cl], np.float64).T    # [3, n]
+            out[cl] = [arr[0], arr[1], arr[2]]
+    return out
+
+
+def calculate_set_similarity_full(crops_metrics_perc: Sequence[Dict],
+                                  classes: Sequence, methods: Sequence[str],
+                                  return_perclass: bool = False,
+                                  num_samples: int = 10000):
+    """Full reference similarity: per-class empirical JSD vs the reference
+    set (the LAST entry) combined with class-ratio and class-weight terms —
+    parity `calculate_set_similarity` (`active_learning_eval.py:946-1027`).
+
+    Returns (sorted [(method, sim)], class-weighting-activated flag,
+    per-class combined metrics when requested).
+    """
+    n_sets = len(crops_metrics_perc) - 1
+    jsds, class_ratio = [], []
+    for cl in classes:
+        jt, ct = [], []
+        val_data = np.asarray(crops_metrics_perc[-1][cl])
+        for i in range(n_sets):
+            if len(crops_metrics_perc[i][cl]) > 0:
+                iter_data = np.asarray(crops_metrics_perc[i][cl])
+                ct.append(len(crops_metrics_perc[-1][cl][0])
+                          / len(crops_metrics_perc[i][cl][0]))
+                jt.append(empirical_jsd(iter_data.T, val_data.T,
+                                        num_samples=num_samples))
+            else:
+                ct.append(np.nan)
+                jt.append(np.nan)
+        class_ratio.append(ct)
+        jsds.append(jt)
+
+    total_dets = [np.sum([len(dist[cl][0]) if len(dist[cl]) > 0 else 0
+                          for cl in classes])
+                  for dist in crops_metrics_perc[:-1]]
+    class_weights = np.mean(
+        [[len(crops_metrics_perc[i][cl][0])
+          if len(crops_metrics_perc[i][cl]) > 0 else 0
+          for i in range(n_sets)] / np.asarray(total_dets)
+         for cl in classes], axis=-1)
+    classes_low_dets = class_weights < np.percentile(class_weights, 25)
+    class_weights = 1 / class_weights
+    activate = (np.round(np.nanstd(class_weights)
+                         / np.nanmean(class_weights), 1) > 1.3)
+    if activate:
+        class_weights[classes_low_dets] = 0
+    else:
+        class_weights = np.ones_like(class_weights)
+    beta = np.maximum(1, np.asarray(
+        total_dets / np.percentile(total_dets, 25), dtype="int"))
+    combined = []
+    for c in range(len(classes)):
+        m = np.add(jsds[c], 0.25 * (np.asarray(class_ratio[c]) * beta) + 0.5)
+        m[np.isinf(m)] = np.nan
+        combined.append(m)
+    sim = np.nansum(1 / np.asarray(combined)
+                    * class_weights.reshape([-1, 1]), axis=0) \
+        / np.sum(class_weights)
+    methods_sim = {methods[i]: sim[i] for i in range(len(methods))}
+    ranked = sorted(methods_sim.items(), key=lambda x: x[1])
+    return ranked, bool(activate), (combined if return_perclass else None)
+
+
 def rank_correlation(similarities: Dict[str, float],
                      ap_scores: Dict[str, float]) -> Tuple[float, float]:
     """Kendall's tau between similarity-based and AP-based method rankings —

@@ -380,27 +380,62 @@ class CalibrateClass:
         p = p / p.sum(-1, keepdims=True)
         return -np.sum(p * np.log(p), axis=-1)
 
-    def __call__(self, logits: np.ndarray) -> Dict[str, Dict[str, np.ndarray]]:
+    def _apply_one(self, name: str, key: str,
+                   logits: np.ndarray) -> Dict[str, np.ndarray]:
+        if name.startswith("ts"):
+            probs = stable_softmax(logits / np.asarray(self.c[key]))
+        else:
+            probs = stable_softmax(logits)
+            if name.endswith("all"):
+                probs = self.c[key].predict(probs.flatten()).reshape(
+                    probs.shape)
+            else:
+                probs = np.stack([self.c[key][i].predict(probs[:, i])
+                                  for i in range(self.num_classes)], axis=1)
+        return {"probs": probs, "entropy": self._entropy(probs)}
+
+    def __call__(self, logits: np.ndarray, uncert: np.ndarray = None,
+                 n_samples: int = 10, seed: int = 0,
+                 noise: np.ndarray = None
+                 ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Apply all fitted calibrators.
+
+        With ``uncert`` (the per-class MC logit sigma), the uncertainty-aware
+        variants run the reference's sampled path (`utils_class.py:119-182`):
+        draw ``n_samples`` logits from N(logit, sigma), calibrate each,
+        then probs = mean over samples, ``mcclass`` = std over samples
+        (the calibrated epistemic class sigma), entropy of the mean. Those
+        results are returned under the UNPREFIXED method name — matching the
+        reference's prediction_data keys (``iso_percls_mcclass`` etc.,
+        `infer_model.py:884-900`) — with a deterministic seed instead of the
+        reference's unseeded tfp sampling. ``noise`` ([n_samples, n, C]
+        standard-normal draws) overrides the seeded generation so batched
+        callers can reproduce per-image seeding exactly.
+        """
         logits = np.asarray(logits, np.float64)
         out: Dict[str, Dict[str, np.ndarray]] = {}
-        for prefix in ("", "unc_"):
-            for name in ("ts_all", "ts_percls"):
-                k = prefix + name
-                if k in self.c:
-                    probs = stable_softmax(logits / np.asarray(self.c[k]))
-                    out[k] = {"probs": probs, "entropy": self._entropy(probs)}
-            for name in ("iso_all", "iso_percls"):
-                k = prefix + name
-                if k not in self.c:
-                    continue
-                probs = stable_softmax(logits)
-                if name.endswith("all"):
-                    cal = self.c[k].predict(probs.flatten()).reshape(
-                        probs.shape)
-                else:
-                    cal = np.stack([self.c[k][i].predict(probs[:, i])
-                                    for i in range(self.num_classes)], axis=1)
-                out[k] = {"probs": cal, "entropy": self._entropy(cal)}
+        sampled = None
+        if uncert is not None:
+            if noise is None:
+                noise = np.random.RandomState(seed).randn(n_samples,
+                                                          *logits.shape)
+            uncert = np.nan_to_num(np.asarray(uncert, np.float64))
+            sampled = logits[None] + noise * uncert[None]
+            sampled = sampled.reshape(-1, logits.shape[-1])
+        for name in ("ts_all", "ts_percls", "iso_all", "iso_percls"):
+            if sampled is not None and "unc_" + name in self.c:
+                r = self._apply_one(name, "unc_" + name, sampled)
+                probs = r["probs"].reshape(n_samples, -1, logits.shape[-1])
+                mean = probs.mean(axis=0)
+                out[name] = {"probs": mean, "entropy": self._entropy(mean),
+                             "mcclass": probs.std(axis=0)}
+            elif name in self.c:
+                out[name] = self._apply_one(name, name, logits)
+            if uncert is None and "unc_" + name in self.c:
+                # no sigma available: the unc_ calibrators degrade to the
+                # plain path (kept for backward compatibility)
+                out["unc_" + name] = self._apply_one(name, "unc_" + name,
+                                                     logits)
         return out
 
 

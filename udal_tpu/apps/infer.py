@@ -96,6 +96,10 @@ class InferImages:
         # top/bottom-uncertainty image buckets (ref `infer_model.py:476-552`)
         self.bucket_fraction = bucket_fraction
         self._image_uncert: List[Tuple[str, float]] = []
+        # per-uncertainty-kind image ranking (albox/mcbox/mcclass/entropy),
+        # parity `_sort_maxuncert`/`_collect_highlow_uncert`
+        self._image_uncert_kind: Dict[str, List[Tuple[str, float]]] = {}
+        self._overlay_paths: Dict[str, str] = {}
         os.makedirs(save_dir, exist_ok=True)
         self.box_calib = self.cls_calib = None
         if calib_dir and os.path.isdir(calib_dir):
@@ -198,8 +202,12 @@ class InferImages:
                 entropy = out.get("entropy")
                 entropy_i = entropy[i][:n_val] if entropy is not None else None
 
-                rel_al = None
+                rel_al = rel_mc = mcc_max = None
                 calibrated_boxes: Dict[str, np.ndarray] = {}
+                if "sigma_mc" in out and n_val:
+                    rel_mc = relativize(boxes, out["sigma_mc"][i][:n_val])
+                if "sigma_cls" in out and n_val:
+                    mcc_max = np.max(out["sigma_cls"][i][:n_val], axis=-1)
                 if "sigma_al" in out:
                     sig = out["sigma_al"][i][:n_val]
                     rel_al = relativize(boxes, sig) if n_val else sig
@@ -207,9 +215,26 @@ class InferImages:
                         calibrated_boxes = {
                             f"{k}_albox": v for k, v in
                             self.box_calib(sig, classes, boxes).items()}
+                # the reference calibrates BOTH the aleatoric and the
+                # epistemic box sigma (`infer_model.py:652-740`)
+                if "sigma_mc" in out and self.box_calib and n_val:
+                    calibrated_boxes.update({
+                        f"{k}_mcbox": v for k, v in
+                        self.box_calib(out["sigma_mc"][i][:n_val], classes,
+                                       boxes).items()})
                 calibrated_cls: Dict[str, Dict] = {}
                 if self.cls_calib is not None and "logits" in out and n_val:
-                    calibrated_cls = self.cls_calib(out["logits"][i][:n_val])
+                    import zlib
+
+                    sig_cls = out.get("sigma_cls")
+                    # per-image seed from the image name so the array-native
+                    # pool path (`apps.al_scoring`) draws identical samples
+                    seed = zlib.crc32(str(names[i]).encode()) & 0x7FFFFFFF
+                    calibrated_cls = self.cls_calib(
+                        out["logits"][i][:n_val],
+                        uncert=(sig_cls[i][:n_val]
+                                if sig_cls is not None else None),
+                        seed=seed)
 
                 combined = None
                 if n_val:
@@ -225,11 +250,34 @@ class InferImages:
                     else:
                         img_u = float(-np.mean(scores))
                     self._image_uncert.append((names[i], img_u))
+                # per-kind image uncertainty for the per-uncertainty buckets
+                # (reference ranks by the per-image max, `infer_model.py:
+                # 833-900` filtered_max_* + `:476-552`)
+                if n_val:
+                    for kind, vals in (
+                            ("albox", np.mean(rel_al, -1)
+                             if rel_al is not None else None),
+                            ("mcbox", np.mean(rel_mc, -1)
+                             if rel_mc is not None else None),
+                            ("mcclass", mcc_max),
+                            ("entropy", entropy_i)):
+                        if vals is not None and np.isfinite(vals).any():
+                            self._image_uncert_kind.setdefault(
+                                kind, []).append(
+                                (names[i], float(np.nanmax(vals))))
                 if self.save_visualizations and n_val:
                     ov_boxes = boxes if overlay_scales is None \
                         else boxes / overlay_scales[i]
+                    planes = {
+                        "albox": (np.mean(rel_al, -1)
+                                  if rel_al is not None else None),
+                        "mcbox": (np.mean(rel_mc, -1)
+                                  if rel_mc is not None else None),
+                        "mcclass": mcc_max,
+                        "entropy": entropy_i,
+                    }
                     self._save_overlay(images[i], names[i], ov_boxes,
-                                       classes, scores, rel_al)
+                                       classes, scores, planes)
                 subdir = ""
                 if self.auto_labeling:
                     ok = combined is not None and self._gate(combined, scores)
@@ -267,6 +315,9 @@ class InferImages:
                         row[k] = [float(x) for x in v[d]]
                     for k, v in calibrated_cls.items():
                         row[f"{k}_entropy"] = float(v["entropy"][d])
+                        if "mcclass" in v:
+                            row[f"{k}_mcclass"] = [float(x) for x in
+                                                   v["mcclass"][d]]
                     if subdir:
                         row["auto_label"] = subdir
                     rows.append(row)
@@ -285,12 +336,13 @@ class InferImages:
         self._write_buckets()
         return rows
 
-    def _save_overlay(self, image, name, boxes, classes, scores, rel_al):
-        """Per-image detection + uncertainty-colored overlay PNG —
+    def _save_overlay(self, image, name, boxes, classes, scores, planes):
+        """Per-image detection overlay + one panel per decoded uncertainty
+        (aleatoric box / epistemic box / epistemic class / entropy) —
         parity `infer_model.py:962-1059`."""
         from PIL import Image
 
-        from udal_tpu.utils.visualize import visualize_boxes_and_labels
+        from udal_tpu.utils.visualize import overlay_panels
 
         mean = np.asarray(self.config.mean_rgb, np.float32)
         std = np.asarray(self.config.stddev_rgb, np.float32)
@@ -298,29 +350,67 @@ class InferImages:
         if img.max() <= 20.0:      # normalized input -> denormalize
             img = img * std + mean
         img = np.clip(img, 0, 255).astype(np.uint8)
-        unc = np.mean(rel_al, axis=-1) if rel_al is not None else None
-        vis = visualize_boxes_and_labels(
+        panels = overlay_panels(
             img, np.asarray(boxes), np.asarray(classes).astype(int),
-            np.asarray(scores), uncertainties=unc,
-            min_score_thresh=self.min_score)
+            np.asarray(scores), planes, min_score_thresh=self.min_score)
         out_dir = os.path.join(self.save_dir, "visualizations")
         os.makedirs(out_dir, exist_ok=True)
         stem = os.path.splitext(os.path.basename(str(name)))[0] or "img"
-        Image.fromarray(vis).save(os.path.join(out_dir, stem + ".png"))
+        for suffix, vis in panels.items():
+            path = os.path.join(out_dir, stem + suffix + ".png")
+            Image.fromarray(vis).save(path)
+            if not suffix:
+                self._overlay_paths[str(name)] = path
 
     def _write_buckets(self):
         """Top/bottom uncertainty image buckets — parity
-        `infer_model.py:476-552` (10% most/least uncertain images)."""
-        if not self._image_uncert:
-            return
-        ranked = sorted(self._image_uncert, key=lambda t: t[1])
-        k = max(1, int(round(len(ranked) * self.bucket_fraction)))
-        for tag, sel in (("bottom10", ranked[:k]), ("top10", ranked[-k:])):
-            d = os.path.join(self.save_dir, tag)
-            os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, "images.txt"), "w") as f:
-                for name, u in sel:
-                    f.write(f"{name} {u}\n")
+        `infer_model.py:476-552`: a combined ranking (bottom10/top10) plus
+        per-uncertainty-kind lower_uncert/upper_uncert dirs with copied
+        overlays and a contact-sheet grid per bucket."""
+        if self._image_uncert:
+            ranked = sorted(self._image_uncert, key=lambda t: t[1])
+            k = max(1, int(round(len(ranked) * self.bucket_fraction)))
+            for tag, sel in (("bottom10", ranked[:k]),
+                             ("top10", ranked[-k:])):
+                d = os.path.join(self.save_dir, tag)
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, "images.txt"), "w") as f:
+                    for name, u in sel:
+                        f.write(f"{name} {u}\n")
+        for kind, pairs in self._image_uncert_kind.items():
+            ranked = sorted(pairs, key=lambda t: t[1])
+            k = max(1, int(np.ceil(len(ranked) * self.bucket_fraction)))
+            for tag, sel in (("lower_uncert", ranked[:k]),
+                             ("upper_uncert", ranked[-k:])):
+                d = os.path.join(self.save_dir, "uncert", tag, kind)
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, "images.txt"), "w") as f:
+                    for name, u in sel:
+                        f.write(f"{name} {u}\n")
+                self._bucket_artifacts(d, sel)
+
+    def _bucket_artifacts(self, bucket_dir, sel):
+        """Copy the bucket's overlay PNGs and render one contact sheet."""
+        import shutil
+
+        copied = []
+        labels = []
+        for name, u in sel:
+            src = self._overlay_paths.get(str(name))
+            if src and os.path.exists(src):
+                dst = os.path.join(bucket_dir, os.path.basename(src))
+                shutil.copyfile(src, dst)
+                copied.append(src)
+                labels.append(f"{os.path.basename(src)} {u:.3g}")
+        if copied:
+            from PIL import Image
+
+            from udal_tpu.utils.visualize import contact_sheet
+
+            thumbs = [np.asarray(Image.open(p)) for p in copied]
+            sheet = contact_sheet(thumbs, labels=labels)
+            Image.fromarray(sheet).save(
+                os.path.join(bucket_dir, "contact_sheet.png"))
 
 
 def consistency_check(driver: ServingDriver, images: np.ndarray,

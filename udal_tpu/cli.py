@@ -317,7 +317,8 @@ def cmd_inspect(args) -> None:
                           calib_dir=args.calib_dir,
                           auto_labeling=auto,
                           opt_params=[0.5, 0.5] if auto else None,
-                          opt_thrs_path=args.opt_thrs_path)
+                          opt_thrs_path=args.opt_thrs_path,
+                          save_visualizations=args.save_visualizations)
         if fast:
             # (images, labels) contract: uint8 batches, normalization (and
             # with device_resize the bilinear resize) on-device
@@ -503,6 +504,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--output_dir", default=None)
     i.add_argument("--calib_dir", default=None)
     i.add_argument("--opt_thrs_path", default=None)
+    i.add_argument("--save_visualizations", action="store_true",
+                   help="write detection + per-uncertainty overlay PNGs and "
+                        "uncertainty bucket grids (ref infer_model.py:"
+                        "962-1059,476-552)")
     i.add_argument("--ensemble_dirs", default=None,
                    help="comma-separated member model_dirs: serve them as a "
                         "deep ensemble (mean boxes, box-variance epistemic "

@@ -69,6 +69,70 @@ def visualize_boxes_and_labels(image: np.ndarray, boxes: np.ndarray,
     return img
 
 
+# Panel suffixes match the reference's written artifacts
+# (`infer_model.py:983-1040`: *_mean_albox.png, *_mean_epbox.png,
+# *_max_epcls.png; entropy panel added for the 4th decoded uncertainty).
+UNCERTAINTY_PANELS = {
+    "albox": "_mean_albox",
+    "mcbox": "_mean_epbox",
+    "mcclass": "_max_epcls",
+    "entropy": "_entropy",
+}
+
+
+def overlay_panels(image: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
+                   scores: np.ndarray,
+                   uncert_planes: Dict[str, Optional[np.ndarray]],
+                   label_map: Optional[Dict[int, str]] = None,
+                   min_score_thresh: float = 0.3) -> Dict[str, np.ndarray]:
+    """Render the plain detection overlay plus one panel per uncertainty.
+
+    Parity with the per-uncertainty overlay images written by inference
+    (`/root/reference/src/infer_model.py:962-1059`): each panel colors the
+    SAME detections by a different per-detection uncertainty (aleatoric box,
+    epistemic box, epistemic class, entropy). Returns {suffix: uint8 image};
+    the empty suffix is the plain class-colored overlay.
+    """
+    out = {"": visualize_boxes_and_labels(
+        image, boxes, classes, scores, label_map,
+        min_score_thresh=min_score_thresh)}
+    for kind, u in uncert_planes.items():
+        if u is None:
+            continue
+        suffix = UNCERTAINTY_PANELS.get(kind, "_" + kind)
+        out[suffix] = visualize_boxes_and_labels(
+            image, boxes, classes, scores, label_map, uncertainties=u,
+            min_score_thresh=min_score_thresh)
+    return out
+
+
+def contact_sheet(images: Sequence[np.ndarray], cols: int = 5,
+                  thumb_hw: tuple = (180, 320),
+                  labels: Optional[Sequence[str]] = None) -> np.ndarray:
+    """Tile images into one grid PNG — the rebuild's rendering of the
+    reference's top/bottom-uncertainty image buckets
+    (`infer_model.py:476-552` copies files into upper_uncert/lower_uncert
+    dirs; here each bucket additionally gets a single contact sheet)."""
+    import cv2
+
+    th, tw = thumb_hw
+    n = len(images)
+    cols = max(1, min(cols, n))
+    rows = (n + cols - 1) // cols
+    canvas = np.zeros((rows * th, cols * tw, 3), np.uint8)
+    for idx, im in enumerate(images):
+        r, c = divmod(idx, cols)
+        thumb = cv2.resize(np.asarray(im, np.uint8), (tw, th))
+        if thumb.ndim == 2:
+            thumb = np.stack([thumb] * 3, -1)
+        canvas[r * th:(r + 1) * th, c * tw:(c + 1) * tw] = thumb[..., :3]
+        if labels is not None:
+            cv2.putText(canvas, str(labels[idx])[:40],
+                        (c * tw + 4, r * th + 16),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.45, (255, 255, 0), 1)
+    return canvas
+
+
 def draw_detection_grid(image: np.ndarray, detections_per_cell,
                         grid: tuple = (2, 2)) -> np.ndarray:
     """Tile multiple visualizations (NMS-threshold sweeps etc.) —
