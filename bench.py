@@ -19,6 +19,12 @@ forward passes (the reference's Python loop, `efficientdet_keras.py:
 overhead, which is GENEROUS to the baseline; the real reference also pays a
 per-pass host round trip.
 
+The ACTUAL reference TF program was additionally measured live in round 4
+(`tools/perf_reference.py` → `docs/REFERENCE_BENCH.json`, summarized in
+BASELINE.md): 0.114 img/s on this host's CPU at the same op point — three
+orders of magnitude below this benchmark's TPU number. `vs_baseline` here
+deliberately keeps the much stronger same-chip JAX floor as denominator.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 

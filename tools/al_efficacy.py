@@ -97,7 +97,7 @@ def write_subset(path, examples, names, selected):
             w.write(examples[idx[n]])
 
 
-def train_model(train_path, steps, size, batch, seed, log):
+def train_model(train_path, steps, size, batch, seed, log, repeats=None):
     """Fresh d0 training on the selected subset (loss attenuation on, MC off
     for speed; MC dropout activates at serve time only)."""
     import jax
@@ -115,6 +115,9 @@ def train_model(train_path, steps, size, batch, seed, log):
     cfg.enable_softmax = True
     cfg.num_epochs = 10
     cfg.moving_average_decay = 0
+    if repeats:
+        cfg.fpn_cell_repeats = repeats
+        cfg.box_class_repeats = repeats
     cfg.override({"batch_size": batch}, allow_new_keys=True)
 
     spe = max(1, steps // 10)
@@ -167,7 +170,8 @@ def run_arm(strategy, examples, names, hard_flags, val_path, args, seed_set,
         log(f"  [{strategy}] iter {it_i}: train on {len(selected)} "
             f"({sum(hard_by_name[n] for n in selected)} hard)")
         cfg, model, state = train_model(sub, args.steps, args.image_size,
-                                        args.batch, args.seed, log)
+                                        args.batch, args.seed, log,
+                                        repeats=args.repeats)
         res = eval_ours(cfg, model, state, val_path, args.batch)
         curve.append({
             "iteration": it_i, "n_selected": len(selected),
@@ -219,6 +223,8 @@ def main():
     ap.add_argument("--save-ckpt", default=None,
                     help="save the final uncertainty-arm TrainState here "
                          "(for perf_al_scoring --ckpt)")
+    ap.add_argument("--repeats", type=int, default=None,
+                    help="override fpn_cell/box_class repeats (tiny mode)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: 24-image pool, 64px, 1 iteration")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
@@ -232,6 +238,7 @@ def main():
         args.pool, args.val, args.image_size = 24, 8, 64
         args.batch, args.steps, args.iterations = 2, 8, 1
         args.seed_size, args.per_iter, args.mc_samples = 6, 6, 2
+        args.repeats = 1
 
     def log(msg):
         print(msg, file=sys.stderr, flush=True)

@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--select", type=int, default=205)
     ap.add_argument("--dict-path", action="store_true",
                     help="measure the legacy per-detection dict shim")
+    ap.add_argument("--device-staged", action="store_true",
+                    help="pre-stage the pool batches on device, then time "
+                         "serve+collect+score. Isolates the device rate "
+                         "from the axon relay's ~35-40 MB/s H2D tunnel "
+                         "(an environment artifact perf_loop.py documents; "
+                         "a production host-attached TPU feeds over PCIe)")
     ap.add_argument("--ckpt", default=None,
                     help="restore model variables from this checkpoint dir "
                          "(trained model -> non-degenerate rankings)")
@@ -117,9 +123,26 @@ def main():
 
         reader = mk_reader()
         it = reader(cfg, args.batch)
-        t0 = time.perf_counter()
-        pool = als.collect_pool(drv, (next(it) for _ in range(n_batches)))
-        serve_s = time.perf_counter() - t0
+        if args.device_staged:
+            import jax.numpy as jnp
+
+            staged = []
+            for _ in range(n_batches):
+                images, labels = next(it)
+                staged.append((
+                    jnp.asarray(images),
+                    {k: (jnp.asarray(v) if not isinstance(v, list) else v)
+                     for k, v in labels.items()}))
+            # force the uploads to complete before timing
+            staged[-1][0].block_until_ready()
+            t0 = time.perf_counter()
+            pool = als.collect_pool(drv, iter(staged))
+            serve_s = time.perf_counter() - t0
+        else:
+            t0 = time.perf_counter()
+            pool = als.collect_pool(drv,
+                                    (next(it) for _ in range(n_batches)))
+            serve_s = time.perf_counter() - t0
         it.close()
 
         t0 = time.perf_counter()
@@ -176,8 +199,11 @@ def main():
                   "config #5): MC-dropout serve + " +
                   ("per-detection dict rows" if args.dict_path
                    else "array-native pool collection") +
-                  f" + {len(STRATEGIES)}-strategy scoring + top-k selection",
-        "path": "dict" if args.dict_path else "arrays",
+                  f" + {len(STRATEGIES)}-strategy scoring + top-k selection"
+                  + (" [pool pre-staged on device: device rate, relay "
+                     "H2D tunnel excluded]" if args.device_staged else ""),
+        "path": ("dict" if args.dict_path else
+                 "arrays_staged" if args.device_staged else "arrays"),
         "pool": args.pool,
         "batch": args.batch,
         "ckpt": args.ckpt,
@@ -198,7 +224,7 @@ def main():
                 out = json.load(f)
             if "img_per_s" in out:       # legacy single-section file
                 out = {}
-        out["arrays" if not args.dict_path else "dict"] = report
+        out[report["path"]] = report
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
         print(f"wrote {args.out}", file=sys.stderr)

@@ -65,7 +65,8 @@ class DetectionPool:
 # ---------------------------------------------------------------------------
 
 def collect_pool(driver, batches: Iterable[Tuple], min_score: float = 0.0,
-                 box_calib=None, cls_calib=None) -> DetectionPool:
+                 box_calib=None, cls_calib=None,
+                 inflight: int = 8) -> DetectionPool:
     """Serve reader/raw batches and accumulate packed pool arrays.
 
     Accepts the same batch contracts as `InferImages.run`: ``(raw_images,
@@ -73,9 +74,19 @@ def collect_pool(driver, batches: Iterable[Tuple], min_score: float = 0.0,
     a reader's ``(images, labels)`` pair of any contract. Calibrators, when
     given, are applied ONCE over all valid detections (flattened) instead of
     per image — sklearn isotonic predict is already vectorized.
+
+    Serve dispatch is PIPELINED: up to ``inflight`` batches are dispatched
+    before their outputs are materialized on host (JAX async dispatch
+    overlaps host IO/decode with device compute — the pattern that kills
+    the reference's serve→numpy→serve serialization,
+    `infer_model.py:554-650`); the window bound keeps the dispatch queue
+    and device output buffers small.
     """
+    from collections import deque
+
     from udal_tpu.apps.infer import split_serve_outputs
 
+    pending: deque = deque()
     chunks: List[Dict[str, np.ndarray]] = []
     names: List[str] = []
     for batch in batches:
@@ -85,17 +96,19 @@ def collect_pool(driver, batches: Iterable[Tuple], min_score: float = 0.0,
             images, labels = batch
             batch_names = list(labels.get("image_names",
                                           labels.get("source_ids", [])))
-            out = split_serve_outputs(
-                driver.config, serve_reader_batch(driver, images, labels))
+            pending.append(serve_reader_batch(driver, images, labels))
         elif len(batch) == 3:
             images, batch_names, scales = batch
-            out = split_serve_outputs(
-                driver.config, driver.serve_preprocessed(images, scales))
+            pending.append(driver.serve_preprocessed(images, scales))
         else:
             images, batch_names = batch
-            out = split_serve_outputs(driver.config, driver.serve(images))
-        chunks.append(out)
+            pending.append(driver.serve(images))
         names.extend(str(n) for n in batch_names)
+        while len(pending) > max(1, inflight):
+            chunks.append(split_serve_outputs(driver.config,
+                                              pending.popleft()))
+    while pending:
+        chunks.append(split_serve_outputs(driver.config, pending.popleft()))
 
     def cat(key):
         if key not in chunks[0]:

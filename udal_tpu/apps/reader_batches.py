@@ -16,6 +16,9 @@ import numpy as np
 
 
 def is_fast_batch(images) -> bool:
+    dt = getattr(images, "dtype", None)
+    if dt is not None:           # numpy OR device array: no host transfer
+        return dt == np.uint8
     return np.asarray(images).dtype == np.uint8
 
 
