@@ -42,6 +42,30 @@ def test_split_serve_outputs(driver):
     assert "sigma_mc" not in out
 
 
+def test_split_serve_outputs_infers_ensemble_sigma_columns(driver):
+    """A deep-ensemble serve packs mc sigma columns even with
+    config.mc_dropout=False (the postprocess keys on the sample axis,
+    `ops/postprocess.py:162-166`); the splitter must infer presence from
+    the packed widths, not the MC config flags."""
+    cfg = driver.config
+    b, k, c = 2, 10, cfg.num_classes
+    boxes = np.arange(b * k * 12, dtype=np.float32).reshape(b, k, 12)
+    scores = np.zeros((b, k), np.float32)
+    classes = np.zeros((b, k, 1 + c), np.float32)
+    classes[..., 1:] = 0.25
+    valid = np.full((b,), k, np.int32)
+    logits = np.zeros((b, k, c), np.float32)
+    out = split_serve_outputs(cfg, (boxes, scores, classes, valid, logits))
+    assert out["sigma_al"].shape == (b, k, 4)
+    assert out["sigma_mc"].shape == (b, k, 4)
+    np.testing.assert_array_equal(out["sigma_mc"], boxes[..., 8:12])
+    assert out["sigma_cls"].shape == (b, k, c)
+    # plain single-model serve (no sample axis) still has no mc columns
+    out1 = split_serve_outputs(cfg, (boxes[..., :8], scores,
+                                     classes[..., 0], valid, logits))
+    assert "sigma_mc" not in out1 and "sigma_cls" not in out1
+
+
 def test_infer_writes_prediction_data(tmp_path, driver):
     app = InferImages(driver, str(tmp_path), min_score=-1.0)
     imgs = np.random.RandomState(0).randint(0, 255, (2, 96, 160, 3), np.uint8)

@@ -47,11 +47,14 @@ def split_serve_outputs(config, outputs) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {
         "scores": np.asarray(scores), "valid_len": np.asarray(valid)}
 
+    # Column presence is inferred from the packed widths, not just config:
+    # the postprocess emits mc sigmas whenever the forward carried a sample
+    # axis (MC dropout OR ensemble members, `ops/postprocess.py:162-166`),
+    # so a deep-ensemble serve with mc_dropout=False still packs
+    # [4 box][+4 albox][+4 mcbox] and [class, C logit sigmas].
     la = bool(config.loss_attenuation)
-    mc_box = bool(config.mc_dropout and (config.mc_boxheadrate or
-                                         config.mc_dropoutrate))
-    mc_cls = bool(config.mc_dropout and (config.mc_classheadrate or
-                                         config.mc_dropoutrate))
+    mc_box = boxes.shape[-1] >= 4 + 4 * la + 4
+    mc_cls = classes.ndim == 3 and classes.shape[-1] > 1
     col = 4
     out["boxes"] = boxes[..., :4]
     if la:
