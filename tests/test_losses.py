@@ -153,3 +153,51 @@ def test_box_loss_strict_parity_mode():
            np.log1p(sigma ** 2))
     expect = 0.25 * np.sum(nll * mask) / (3.0 * 4.0)
     np.testing.assert_allclose(float(b2), expect, rtol=1e-5)
+
+
+def test_box_loss_beta_nll_gradient_semantics():
+    """beta-NLL (la_beta_nll): beta=0 is the reference-parity NLL; beta=1
+    makes the mu-gradient identical to the plain (non-attenuated) box-loss
+    gradient while sigma still receives a learning signal.
+
+    This is the stabilization for the measured seed-dependent collapse
+    (docs/COLLAPSE_ROOTCAUSE.md): plain NLL multiplies mu-gradients by
+    1/sigma^2 (1e4x at the 0.01 clip floor), which crushes every other
+    gradient under the global-norm clip.
+    """
+    rng = np.random.RandomState(7)
+    tgt = rng.randn(1, 2, 2, 8).astype(np.float32)
+    tgt[rng.rand(*tgt.shape) < 0.3] = 0.0
+    mu = rng.randn(1, 2, 2, 8).astype(np.float32)
+    sigma = (np.abs(rng.randn(1, 2, 2, 8)) * 0.2 + 0.02).astype(np.float32)
+    npos = jnp.asarray(3.0)
+
+    def att(mu_, sigma_, beta):
+        out = jnp.concatenate([mu_, sigma_], -1)
+        return loss_lib.box_loss(tgt, out, npos, loss_att=True,
+                                 loss_type="mse", beta_nll=beta)
+
+    # beta=0 must equal the existing (default) attenuated loss exactly.
+    base = loss_lib.box_loss(tgt, np.concatenate([mu, sigma], -1), npos,
+                             loss_att=True, loss_type="mse")
+    assert float(att(mu, sigma, 0.0)) == float(base)
+
+    # beta=1 mu-gradient == plain box-loss mu-gradient evaluated at the
+    # compensated mu (the sigma^2/2 hw compensation shifts mu on the
+    # (th, tw) channels before the residual; it is sigma-only, so the
+    # chain rule through mu is the identity).
+    coord = np.arange(mu.shape[-1]) % 4
+    hw = (coord >= 2).astype(np.float32)
+    mu_comp = mu + hw * np.square(sigma) / 2.0
+    g_beta = jax.grad(lambda m: att(m, jnp.asarray(sigma), 1.0))(
+        jnp.asarray(mu))
+    g_plain = jax.grad(
+        lambda m: loss_lib.box_loss(tgt, m, npos, loss_type="mse"))(
+        jnp.asarray(mu_comp))
+    np.testing.assert_allclose(np.asarray(g_beta), 0.25 * np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-6)
+
+    # sigma still learns: gradient wrt sigma is non-zero under beta=1.
+    g_sigma = jax.grad(lambda s: att(jnp.asarray(mu), s, 1.0))(
+        jnp.asarray(sigma))
+    assert float(jnp.max(jnp.abs(g_sigma))) > 0

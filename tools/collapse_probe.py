@@ -50,6 +50,8 @@ def main():
                     help="H1 control: train WITHOUT loss attenuation")
     ap.add_argument("--clip-min", type=float, default=None,
                     help="override clip_min_uncert (H1 mitigation test)")
+    ap.add_argument("--beta", type=float, default=None,
+                    help="la_beta_nll beta-NLL stabilization (fix test)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -82,6 +84,8 @@ def main():
     cfg.moving_average_decay = 0
     if args.clip_min is not None:
         cfg.clip_min_uncert = args.clip_min
+    if args.beta is not None:
+        cfg.la_beta_nll = args.beta
     cfg.override({"batch_size": args.batch}, allow_new_keys=True)
 
     spe = max(1, args.steps // 10)

@@ -179,6 +179,11 @@ def default_detection_configs() -> Config:
     # (second half of the mu channels, `train_lib.py:817-845`) instead of
     # the true (th, tw) channels — see losses.box_loss(strict_parity=...)
     h.strict_loss_parity = False
+    # beta-NLL stabilization of the attenuation loss (Seitzer et al. 2022):
+    # 0.0 = reference-parity plain NLL; >0 scales per-element NLL by
+    # stop_grad(sigma^(2*beta)) — see losses.box_loss and
+    # docs/COLLAPSE_ROOTCAUSE.md for the measured collapse it fixes.
+    h.la_beta_nll = 0.0
     h.clip_min_uncert = 0.01
     h.clip_max_uncert = 1024
     h.uncert_adjust_method = "l-norm"   # [l-norm, n-flow, falsedec, sample]

@@ -70,7 +70,8 @@ def box_loss(box_targets: jnp.ndarray, box_output: jnp.ndarray,
              num_positives: jnp.ndarray, delta: float = 0.1,
              loss_att: bool = False, loss_type: str = "huber",
              pseudo_scores: Optional[jnp.ndarray] = None,
-             strict_parity: bool = False) -> jnp.ndarray:
+             strict_parity: bool = False,
+             beta_nll: float = 0.0) -> jnp.ndarray:
     """Per-level box regression loss — parity `train_lib.py:789-870`.
 
     Args:
@@ -85,6 +86,15 @@ def box_loss(box_targets: jnp.ndarray, box_output: jnp.ndarray,
         rather than the (th, tw) coords; False applies it to the true
         (th, tw) channels of every anchor (the decode the compensation
         exists for). A/B: docs/LOSS_PARITY_AB.md.
+      beta_nll: beta-NLL stabilization (Seitzer et al., ICLR 2022,
+        "On the Pitfalls of Heteroscedastic Uncertainty Estimation").
+        Scales the per-element NLL by stop_grad(sigma^(2*beta)), removing
+        the 1/sigma^2 gradient amplification that the reference's plain
+        NLL suffers on floor-riding anchors (clip_min_uncert=0.01 gives a
+        1e4x multiplier; measured collapse: docs/COLLAPSE_ROOTCAUSE.md).
+        beta=0 (default) is exact reference-parity NLL; beta=1 makes the
+        mu-gradient identical to the plain Huber gradient while sigma
+        still learns from the residual term.
     """
     normalizer = num_positives * 4.0
     if loss_att:
@@ -112,6 +122,8 @@ def box_loss(box_targets: jnp.ndarray, box_output: jnp.ndarray,
     if loss_att:
         var = jnp.square(sigma)
         nll = per_elem / var + jnp.log1p(var)
+        if beta_nll:
+            nll = nll * jax.lax.stop_gradient(var ** beta_nll)
         return 0.25 * jnp.sum(nll * mask) / normalizer
     return jnp.sum(per_elem * mask) / normalizer
 
@@ -154,7 +166,8 @@ def detection_loss(config, cls_outputs: Sequence[jnp.ndarray],
             loss_att=bool(config.loss_attenuation),
             loss_type="huber" if config.boxloss_type == "huber" else "mse",
             pseudo_scores=pseudo_scores,
-            strict_parity=bool(config.get("strict_loss_parity", False))))
+            strict_parity=bool(config.get("strict_loss_parity", False)),
+            beta_nll=float(config.get("la_beta_nll", 0.0))))
 
     cls_loss_total = sum(cls_losses)
     if config.loss_attenuation:
