@@ -97,9 +97,14 @@ def write_subset(path, examples, names, selected):
             w.write(examples[idx[n]])
 
 
-def train_model(train_path, steps, size, batch, seed, log, repeats=None):
+def train_model(train_path, steps, size, batch, seed, log, repeats=None,
+                beta=1.0):
     """Fresh d0 training on the selected subset (loss attenuation on, MC off
-    for speed; MC dropout activates at serve time only)."""
+    for speed; MC dropout activates at serve time only).
+
+    beta defaults to 1.0 (la_beta_nll): without it the attenuation NLL
+    collapses the trainer at this op point (docs/COLLAPSE_ROOTCAUSE.md) and
+    both arms' AP curves measure the collapse, not selection quality."""
     import jax
 
     from udal_tpu.config import get_detection_config
@@ -111,6 +116,7 @@ def train_model(train_path, steps, size, batch, seed, log, repeats=None):
     cfg.image_size = size
     cfg.num_classes = 7
     cfg.loss_attenuation = True
+    cfg.la_beta_nll = beta
     cfg.mc_dropout = False
     cfg.enable_softmax = True
     cfg.num_epochs = 10
@@ -171,7 +177,7 @@ def run_arm(strategy, examples, names, hard_flags, val_path, args, seed_set,
             f"({sum(hard_by_name[n] for n in selected)} hard)")
         cfg, model, state = train_model(sub, args.steps, args.image_size,
                                         args.batch, args.seed, log,
-                                        repeats=args.repeats)
+                                        repeats=args.repeats, beta=args.beta)
         res = eval_ours(cfg, model, state, val_path, args.batch)
         curve.append({
             "iteration": it_i, "n_selected": len(selected),
@@ -225,6 +231,9 @@ def main():
                          "(for perf_al_scoring --ckpt)")
     ap.add_argument("--repeats", type=int, default=None,
                     help="override fpn_cell/box_class repeats (tiny mode)")
+    ap.add_argument("--beta", type=float, default=1.0,
+                    help="la_beta_nll for arm training (0 = reference-parity "
+                         "NLL, which collapses — docs/COLLAPSE_ROOTCAUSE.md)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: 24-image pool, 64px, 1 iteration")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",

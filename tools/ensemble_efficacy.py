@@ -53,6 +53,8 @@ def train_member(train_path, args, seed, log):
     cfg.image_size = args.image_size
     cfg.num_classes = args.num_classes
     cfg.loss_attenuation = True
+    # beta-NLL stabilization — see docs/COLLAPSE_ROOTCAUSE.md.
+    cfg.la_beta_nll = args.beta
     cfg.mc_dropout = False
     cfg.enable_softmax = True
     cfg.num_epochs = 10
@@ -162,6 +164,8 @@ def main():
     ap.add_argument("--mc-samples", type=int, default=10)
     ap.add_argument("--min-score", type=float, default=0.2)
     ap.add_argument("--repeats", type=int, default=None)
+    ap.add_argument("--beta", type=float, default=1.0,
+                    help="la_beta_nll (0 = reference-parity NLL, which collapses)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "ENSEMBLE_BENCH.json"))

@@ -77,6 +77,10 @@ def base_config(args):
     cfg.image_size = args.image_size
     cfg.num_classes = args.num_classes
     cfg.loss_attenuation = True
+    # Without beta-NLL the attenuation loss collapses the trainer at this
+    # op point and the arms measure the collapse, not SSL
+    # (docs/COLLAPSE_ROOTCAUSE.md).
+    cfg.la_beta_nll = args.beta
     cfg.mc_dropout = False
     cfg.enable_softmax = True
     cfg.num_epochs = 10
@@ -199,6 +203,8 @@ def main():
     ap.add_argument("--arms", default="teacher,control,student,csd")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=None)
+    ap.add_argument("--beta", type=float, default=1.0,
+                    help="la_beta_nll (0 = reference-parity NLL, which collapses)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "SSL_AB.json"))
