@@ -217,7 +217,7 @@ def eval_reference(model, config, ref_postprocess, ref_dataloader, val_path,
 # ---------------------------------------------------------------------------
 
 def run_ours(train_path, val_path, steps, size, num_classes, batch,
-             eval_points, strict, log):
+             eval_points, strict, log, beta=0.0):
     import jax
 
     from udal_tpu.config import get_detection_config
@@ -233,6 +233,7 @@ def run_ours(train_path, val_path, steps, size, num_classes, batch,
     cfg.enable_softmax = True   # op-point scoring path, both sides
     cfg.num_epochs = 10   # schedule horizon (see run_reference)
     cfg.moving_average_decay = 0      # EMA off both sides
+    cfg.la_beta_nll = beta   # 0 = reference-parity NLL (both A/B sides)
     cfg.override({"batch_size": batch,
                   "strict_loss_parity": bool(strict)}, allow_new_keys=True)
 
@@ -326,6 +327,9 @@ def main():
                     "merge into --out")
     ap.add_argument("--seed", type=int, default=0,
                     help="dataset seed (keep identical across sections)")
+    ap.add_argument("--beta", type=float, default=1.0,
+                    help="la_beta_nll for the ours_beta section "
+                         "(docs/COLLAPSE_ROOTCAUSE.md)")
     args = ap.parse_args()
     if args.tiny:
         args.steps, args.image_size = 60, 128
@@ -354,7 +358,7 @@ def main():
     if os.path.exists(args.out):   # merge into an existing (parallel) run
         with open(args.out) as f:
             prev = json.load(f)
-        for k in ("ours_default", "ours_strict", "reference"):
+        for k in ("ours_default", "ours_strict", "ours_beta", "reference"):
             if k in prev:
                 results[k] = prev[k]
 
@@ -365,7 +369,8 @@ def main():
         if os.path.exists(args.out):
             with open(args.out) as f:
                 prev = json.load(f)
-            for k in ("ours_default", "ours_strict", "reference"):
+            for k in ("ours_default", "ours_strict", "ours_beta",
+                      "reference"):
                 if k in prev and k not in results:
                     results[k] = prev[k]
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -388,6 +393,12 @@ def main():
         results["ours_strict"] = run_ours(
             train_path, val_path, args.steps, args.image_size,
             args.num_classes, args.batch, eval_points, strict=True, log=log)
+        flush()
+    if "ours_beta" in sections:
+        results["ours_beta"] = run_ours(
+            train_path, val_path, args.steps, args.image_size,
+            args.num_classes, args.batch, eval_points, strict=False, log=log,
+            beta=args.beta)
         flush()
     if "reference" in sections:
         results["reference"] = run_reference(
