@@ -37,13 +37,20 @@ from udal_tpu.data import tfrecord as tfr                     # noqa: E402
 from udal_tpu.data.synthetic import make_example              # noqa: E402
 
 
-def make_al_image(rng, height, width, num_objects, hard):
-    """Easy: bright class-1..4 rectangles. Hard: rare classes 5..7 at low
-    contrast over a noisier background."""
+def make_al_image(rng, height, width, num_objects, hard,
+                  hard_contrast=0.4, hard_noise=25):
+    """Easy: bright class-1..4 rectangles. Hard: rare classes 5..7 at
+    ``hard_contrast`` over a background with ±``hard_noise`` extra noise.
+
+    hard_contrast=1.0, hard_noise=0 makes "hard" purely *rare* (classes
+    5..7 render exactly like the common ones) — informative to acquire but
+    fully learnable; the low-contrast default makes them additionally
+    difficult, which at high doses poisons training (the composition bisect
+    `tools/al_collapse_repro.py`)."""
     image = rng.randint(0, 60, (height, width, 3), np.uint8)
-    if hard:
+    if hard and hard_noise:
         image = np.clip(image.astype(np.int16) +
-                        rng.randint(-25, 25, image.shape), 0,
+                        rng.randint(-hard_noise, hard_noise, image.shape), 0,
                         255).astype(np.uint8)
     palette = (np.arange(1, 8)[:, None] *
                np.asarray([[97, 61, 37]]) % 200 + 55).astype(np.float32)
@@ -55,7 +62,7 @@ def make_al_image(rng, height, width, num_objects, hard):
         y1 = rng.randint(0, height - h)
         x1 = rng.randint(0, width - w)
         cls = rng.randint(5, 8) if hard else rng.randint(1, 5)
-        contrast = 0.4 if hard else 1.0
+        contrast = hard_contrast if hard else 1.0
         color = bg_mean + contrast * (palette[cls - 1] - bg_mean)
         image[y1:y1 + h, x1:x1 + w] = color.astype(np.uint8)
         boxes.append([y1, x1, y1 + h, x1 + w])
@@ -63,14 +70,16 @@ def make_al_image(rng, height, width, num_objects, hard):
     return image, np.asarray(boxes, np.float32), np.asarray(classes, np.int64)
 
 
-def build_pool(n_pool, size, hard_frac, seed):
+def build_pool(n_pool, size, hard_frac, seed, hard_contrast=0.4,
+               hard_noise=25):
     """Returns (serialized examples, names, is_hard flags)."""
     rng = np.random.RandomState(seed)
     examples, names, hard_flags = [], [], []
     for i in range(n_pool):
         hard = rng.rand() < hard_frac
         img, boxes, classes = make_al_image(rng, size, size,
-                                            rng.randint(2, 5), hard)
+                                            rng.randint(2, 5), hard,
+                                            hard_contrast, hard_noise)
         name = f"img{i:06d}.png"
         examples.append(make_example(img, boxes, classes, str(i), name))
         names.append(name)
@@ -78,14 +87,15 @@ def build_pool(n_pool, size, hard_frac, seed):
     return examples, names, hard_flags
 
 
-def build_val(path, n_val, size, seed):
+def build_val(path, n_val, size, seed, hard_contrast=0.4, hard_noise=25):
     """Validation set: 50/50 easy/hard so AP rewards all 7 classes."""
     rng = np.random.RandomState(seed)
     with tfr.TFRecordWriter(path) as w:
         for i in range(n_val):
             hard = i % 2 == 1
             img, boxes, classes = make_al_image(rng, size, size,
-                                                rng.randint(2, 5), hard)
+                                                rng.randint(2, 5), hard,
+                                                hard_contrast, hard_noise)
             w.write(make_example(img, boxes, classes, str(i),
                                  f"val{i:06d}.png"))
 
@@ -224,6 +234,8 @@ def main():
     ap.add_argument("--per-iter", type=int, default=32)
     ap.add_argument("--mc-samples", type=int, default=5)
     ap.add_argument("--hard-frac", type=float, default=0.25)
+    ap.add_argument("--hard-contrast", type=float, default=0.4)
+    ap.add_argument("--hard-noise", type=int, default=25)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--strategies", default="entropy,random")
     ap.add_argument("--save-ckpt", default=None,
@@ -254,9 +266,12 @@ def main():
 
     work = tempfile.mkdtemp(prefix="al_efficacy_")
     examples, names, hard_flags = build_pool(args.pool, args.image_size,
-                                             args.hard_frac, args.seed)
+                                             args.hard_frac, args.seed,
+                                             args.hard_contrast,
+                                             args.hard_noise)
     val_path = os.path.join(work, "val.tfrecord")
-    build_val(val_path, args.val, args.image_size, args.seed + 1)
+    build_val(val_path, args.val, args.image_size, args.seed + 1,
+              args.hard_contrast, args.hard_noise)
     log(f"pool: {args.pool} images, {sum(hard_flags)} hard; "
         f"val: {args.val}")
 
