@@ -424,6 +424,11 @@ def build_parser() -> argparse.ArgumentParser:
     def common(sp):
         sp.add_argument("--model_name", default="efficientdet-d0")
         sp.add_argument("--model_dir", default=None)
+        sp.add_argument("--compile_cache", default=None, metavar="DIR",
+                        help="persistent XLA compilation cache directory "
+                             "(or env UDAL_COMPILE_CACHE); turns the "
+                             "multi-minute cold compile of the serving/"
+                             "train programs into a disk read on restart")
         sp.add_argument("--hparams", default="")
         sp.add_argument("--batch_size", type=int, default=8)
         sp.add_argument("--num_epochs", type=int, default=None)
@@ -548,6 +553,8 @@ def main(argv=None):
     result — setuptools wraps the entry point in sys.exit(), and a truthy
     return value would otherwise turn success into exit status 1."""
     args = build_parser().parse_args(argv)
+    from udal_tpu.utils.compile_cache import enable_from_env_or_flag
+    enable_from_env_or_flag(getattr(args, "compile_cache", None))
     return args.fn(args)
 
 
