@@ -236,6 +236,11 @@ def main():
     ap.add_argument("--hard-frac", type=float, default=0.25)
     ap.add_argument("--hard-contrast", type=float, default=0.4)
     ap.add_argument("--hard-noise", type=int, default=25)
+    ap.add_argument("--seed-easy-only", action="store_true",
+                    help="draw the iteration-0 seed set from easy images "
+                         "only (cold start: rare classes unseen), so "
+                         "acquisition quality on the rare classes is the "
+                         "whole signal")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--strategies", default="entropy,random")
     ap.add_argument("--save-ckpt", default=None,
@@ -276,7 +281,10 @@ def main():
         f"val: {args.val}")
 
     seed_rng = np.random.RandomState(args.seed + 5)
-    seed_set = list(seed_rng.choice(names, args.seed_size, replace=False))
+    seed_candidates = ([n for n, h in zip(names, hard_flags) if not h]
+                       if args.seed_easy_only else names)
+    seed_set = list(seed_rng.choice(seed_candidates, args.seed_size,
+                                    replace=False))
 
     report = {
         "config": vars(args),
