@@ -99,8 +99,16 @@ def _det_hits(det_rows, gt, iou_thr=0.5):
 # Reference side
 # ---------------------------------------------------------------------------
 
+def _flush_partial(partial_path, curves):
+    """Checkpoint the curve after every eval point: a background section
+    killed near the end (session wall-clock) must not lose its curve."""
+    if partial_path:
+        with open(partial_path, "w") as f:
+            json.dump(curves, f, indent=1)
+
+
 def run_reference(train_path, val_path, steps, size, num_classes, batch,
-                  eval_points, log):
+                  eval_points, log, partial_path=None):
     os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
     from udal_tpu.utils.reference_compat import (add_reference_to_path,
@@ -176,6 +184,7 @@ def run_reference(train_path, val_path, steps, size, num_classes, batch,
             res["step"] = step
             res["wall_s"] = time.time() - t0
             curves.append(res)
+            _flush_partial(partial_path, curves)
             log(f"[ref] step {step}: AP={res['AP']:.4f} "
                 f"ECE={res['ECE']:.4f} ({res['wall_s']:.0f}s)")
     return curves
@@ -217,7 +226,7 @@ def eval_reference(model, config, ref_postprocess, ref_dataloader, val_path,
 # ---------------------------------------------------------------------------
 
 def run_ours(train_path, val_path, steps, size, num_classes, batch,
-             eval_points, strict, log, beta=0.0):
+             eval_points, strict, log, beta=0.0, partial_path=None):
     import jax
 
     from udal_tpu.config import get_detection_config
@@ -257,6 +266,7 @@ def run_ours(train_path, val_path, steps, size, num_classes, batch,
             res["wall_s"] = time.time() - t0
             res["loss"] = float(vals["loss"])
             curves.append(res)
+            _flush_partial(partial_path, curves)
             log(f"[ours strict={strict}] step {step}: AP={res['AP']:.4f} "
                 f"ECE={res['ECE']:.4f} loss={res['loss']:.3f} "
                 f"({res['wall_s']:.0f}s)")
@@ -384,26 +394,30 @@ def main():
     if args.skip_reference and "reference" in sections:
         sections.remove("reference")
 
+    part = lambda sec: f"{args.out}.partial_{sec}.json"
     if "ours_default" in sections:
         results["ours_default"] = run_ours(
             train_path, val_path, args.steps, args.image_size,
-            args.num_classes, args.batch, eval_points, strict=False, log=log)
+            args.num_classes, args.batch, eval_points, strict=False, log=log,
+            partial_path=part("ours_default"))
         flush()
     if "ours_strict" in sections:
         results["ours_strict"] = run_ours(
             train_path, val_path, args.steps, args.image_size,
-            args.num_classes, args.batch, eval_points, strict=True, log=log)
+            args.num_classes, args.batch, eval_points, strict=True, log=log,
+            partial_path=part("ours_strict"))
         flush()
     if "ours_beta" in sections:
         results["ours_beta"] = run_ours(
             train_path, val_path, args.steps, args.image_size,
             args.num_classes, args.batch, eval_points, strict=False, log=log,
-            beta=args.beta)
+            beta=args.beta, partial_path=part("ours_beta"))
         flush()
     if "reference" in sections:
         results["reference"] = run_reference(
             train_path, val_path, args.steps, args.image_size,
-            args.num_classes, args.batch, eval_points, log=log)
+            args.num_classes, args.batch, eval_points, log=log,
+            partial_path=part("reference"))
         flush()
 
 
