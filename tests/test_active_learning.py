@@ -104,6 +104,32 @@ def test_loop_orchestration(tmp_path):
     assert (tmp_path / "iter_2" / "selected.txt").exists()
 
 
+def test_loop_accepts_detection_pool(tmp_path):
+    """The loop's TPU-native route: infer_fn returns a packed
+    al_scoring.DetectionPool instead of dict rows; selections must be
+    identical to the dict path on the same detections."""
+    from udal_tpu.apps import al_scoring as als
+
+    pool = [f"img{i:03d}.png" for i in range(20)]
+    uncertain = {"img015.png", "img016.png", "img017.png"}
+    all_rows = _rows(20, uncertain_images=uncertain)
+
+    def dict_infer(remaining, it_dir):
+        return [r for r in all_rows if r["image_name"] in set(remaining)]
+
+    def pool_infer(remaining, it_dir):
+        # deliberately unfiltered: run() must subset to `remaining` itself
+        return als.pool_from_rows(all_rows)
+
+    kw = dict(budget_steps=[10, 10, 10], train_fn=lambda s, d: None, seed=0)
+    sel_dict = al.ActiveLearning(pool, str(tmp_path / "a"), "entropy",
+                                 infer_fn=dict_infer, **kw).run()
+    sel_pool = al.ActiveLearning(pool, str(tmp_path / "b"), "entropy",
+                                 infer_fn=pool_infer, **kw).run()
+    assert sel_dict == sel_pool
+    assert uncertain & set(sel_pool)
+
+
 @pytest.mark.slow
 def test_full_al_loop_with_training_and_combo(tmp_path):
     """VERDICT r1 #3: >=3 budget iterations with real (tiny) retraining per

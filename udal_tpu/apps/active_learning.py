@@ -406,6 +406,26 @@ class ActiveLearning:
         with open(done, "w") as f:
             f.write("ok")
 
+    def _select(self, rows, remaining: Sequence[str], k: int) -> List[str]:
+        """Score + select from whatever ``infer_fn`` produced.
+
+        The TPU-native route is a packed ``al_scoring.DetectionPool``
+        (arrays straight off the serve program, no per-detection dicts);
+        a list of prediction_data.txt dict rows remains accepted as the
+        artifact-compatible shim — e.g. when resuming a loop from a
+        previous run's text artifact (`active_learning_loop.py:528-543`).
+        Both routes produce identical selections
+        (`tests/test_al_scoring_arrays.py`)."""
+        from udal_tpu.apps import al_scoring as als
+
+        if isinstance(rows, als.DetectionPool):
+            pool = als.subset_pool(rows, remaining)
+            return als.select_pool(pool, self.strategy, k,
+                                   self.opt_params, self.rng)
+        rows = [r for r in rows if r["image_name"] in set(remaining)]
+        return select_images(rows, self.strategy, k,
+                             self.opt_params, self.rng)
+
     def run(self) -> List[str]:
         """Run all budget iterations; returns the final selected set."""
         total = len(self.pool)
@@ -426,10 +446,7 @@ class ActiveLearning:
             else:
                 self._combo_stage(i, it_dir)
                 rows = self.infer_fn(remaining, it_dir)
-                rows = [r for r in rows
-                        if r["image_name"] in set(remaining)]
-                picks = select_images(rows, self.strategy, k,
-                                      self.opt_params, self.rng)
+                picks = self._select(rows, remaining, k)
             self.selected.extend(picks)
             with open(os.path.join(it_dir, "selected.txt"), "w") as f:
                 f.write("\n".join(self.selected))

@@ -203,6 +203,22 @@ def _drop_empty_images(pool: DetectionPool) -> DetectionPool:
         feats={k: v[sel] for k, v in pool.feats.items()})
 
 
+def subset_pool(pool: DetectionPool, keep: Iterable[str]) -> DetectionPool:
+    """Restrict the pool to ``keep`` image names (preserving serve order) —
+    the loop-side filter the dict path applies with a per-row membership
+    test (`active_learning_loop.py:528-543` re-reads prediction_data.txt
+    and drops already-selected images)."""
+    keep = set(keep)
+    sel = [i for i, n in enumerate(pool.names) if n in keep]
+    if len(sel) == len(pool.names):
+        return pool
+    idx = np.asarray(sel, int)
+    return DetectionPool(
+        names=[pool.names[i] for i in sel], boxes=pool.boxes[idx],
+        classes=pool.classes[idx], mask=pool.mask[idx],
+        feats={k: v[idx] for k, v in pool.feats.items()})
+
+
 def pool_from_rows(rows: Sequence[Dict]) -> DetectionPool:
     """Build a DetectionPool from prediction_data.txt dict rows (the
     compatibility direction, used by tests and by loops resuming from the
