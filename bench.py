@@ -156,6 +156,11 @@ def main():
                          "(vs_baseline reported as null)")
     args = ap.parse_args()
 
+    # Persistent XLA compile cache (same knob as the CLI's --compile_cache):
+    # a re-run of this benchmark skips the ~13-minute cold compile.
+    from udal_tpu.utils.compile_cache import enable_from_env_or_flag
+    enable_from_env_or_flag(None)
+
     rng = np.random.RandomState(0)
 
     # ---- optimized TPU-native path: bf16, vmap MC axis, batch 8 ----------
