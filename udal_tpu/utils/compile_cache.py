@@ -28,6 +28,17 @@ def enable_compile_cache(path: str, min_compile_secs: float = 1.0) -> str:
     os.makedirs(path, exist_ok=True)
     import jax
 
+    # The persistent cache is a process singleton initialized on first use;
+    # once something has compiled under a previous dir, merely updating the
+    # config is ignored. Reset it so enabling (or re-pointing) the cache
+    # mid-process takes effect.
+    try:
+        from jax._src import compilation_cache as _cc
+
+        if _cc.is_initialized():
+            _cc.reset_cache()
+    except (ImportError, AttributeError):  # private API moved — best effort
+        pass
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_secs))
