@@ -526,6 +526,48 @@ def build_parser() -> argparse.ArgumentParser:
                         "runs on-device (uniform-size datasets)")
     i.set_defaults(fn=cmd_inspect)
 
+    a = sub.add_parser("al",
+                       help="active-learning acquisition loop over a "
+                            "TFRecord pool (ref: python -m "
+                            "active_learning_loop)")
+    common(a)
+    a.add_argument("--pool_file_pattern", required=True,
+                   help="TFRecord shards of the labeled pool to acquire "
+                        "from")
+    a.add_argument("--work_dir", required=True,
+                   help="per-iteration artifacts land in "
+                        "<work_dir>/iter_<i>/ (selected.txt, "
+                        "train.tfrecord, model/); the loop resumes from "
+                        "completed iterations")
+    a.add_argument("--strategy", default="entropy",
+                   help="scoring strategy (reference grammar: random/"
+                        "entropy/mcbox/albox/mcclass/combo/ental/alluncert/"
+                        "epuncert/sota/highep_lowal + mean/calib/norm/perc/"
+                        "bottomk/nee modifiers)")
+    a.add_argument("--budgets", default="5,5,5,10,20,30,25",
+                   help="percent of the pool added per iteration "
+                        "(ref default iteration_budget)")
+    a.add_argument("--steps_per_epoch", type=int, default=None,
+                   help="default: one pass over the current selection")
+    a.add_argument("--opt_params", default=None,
+                   help="comma weights for combo strategies (ref "
+                        "--opt_params)")
+    a.add_argument("--min_score", type=float, default=0.0,
+                   help="detection score floor when scoring the pool")
+    a.add_argument("--prune_thr", type=int, default=None,
+                   help="enable near-duplicate pool pruning at this "
+                        "Hamming distance (ref --prune_thr)")
+    a.add_argument("--hash_method", default="phash",
+                   choices=["phash", "whash"])
+    a.add_argument("--warmup_dir", default=None,
+                   help="completed iter_0 directory from another strategy "
+                        "run to reuse (ref warm-up model reuse)")
+    a.add_argument("--out_tfrecord", default=None,
+                   help="also write the final selected set as a "
+                        "training-ready TFRecord")
+    a.add_argument("--seed", type=int, default=0)
+    a.set_defaults(fn=cmd_al)
+
     pk = sub.add_parser("parity_kitti",
                         help="real-data mAP/ECE parity table vs the "
                              "reference (see udal_tpu/apps/parity.py)")
@@ -537,6 +579,12 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--out", default=None)
     pk.set_defaults(fn=cmd_parity_kitti)
     return p
+
+
+def cmd_al(args) -> None:
+    from udal_tpu.apps.al_runner import run_al
+
+    run_al(args)
 
 
 def cmd_parity_kitti(args) -> None:
