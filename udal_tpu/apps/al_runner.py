@@ -56,13 +56,25 @@ class PoolIndex:
         p, off, ln = self.entries[name]
         return tfr.read_record(p, off, ln)
 
-    def write_subset(self, names: Sequence[str], out_path: str) -> int:
+    def write_subset(self, names: Sequence[str], out_path: str,
+                     pad_multiple: Optional[int] = None) -> int:
+        """Byte-copy the named records; with ``pad_multiple``, pad to a
+        full final batch with copies of the last record renamed to
+        ``__pad<i>__`` so padding can never be mistaken for (or merged
+        into) a real pool image downstream."""
+        from udal_tpu.data import example_codec as codec
         from udal_tpu.data import tfrecord as tfr
 
+        n_pad = (-len(names)) % pad_multiple if pad_multiple else 0
         with tfr.TFRecordWriter(out_path) as w:
             for n in names:
                 w.write(self.record(n))
-        return len(names)
+            if n_pad:
+                feats = codec.parse_example(self.record(names[-1]))
+                for i in range(n_pad):
+                    feats["image/filename"] = [f"__pad{i}__".encode()]
+                    w.write(codec.serialize_example(feats))
+        return len(names) + n_pad
 
     def decoded_images(self, names: Sequence[str]) -> List[np.ndarray]:
         import cv2
@@ -133,33 +145,15 @@ def run_al(args, log=print) -> List[str]:
 
     def infer_fn(remaining: Sequence[str], it_dir: str) -> als.DetectionPool:
         rem = os.path.join(it_dir, "remaining.tfrecord")
-        # pad to a full final batch (duplicates are deduped by name when the
-        # pool is packed; the loop re-filters to `remaining` regardless)
-        names = list(remaining)
-        while len(names) % batch:
-            names.append(names[-1])
-        index.write_subset(names, rem)
+        # __pad<i>__ batch padding is dropped by the loop's subset to
+        # `remaining`
+        index.write_subset(remaining, rem, pad_multiple=batch)
         drv = _serving_driver()
         reader = InputReader(rem, is_training=False, names=True,
                              seed=args.seed)
         batches = ((imgs, labels["image_names"], labels["image_scales"])
                    for imgs, labels in reader(drv.config, batch))
-        pool_arrays = als.collect_pool(drv, batches,
-                                       min_score=args.min_score)
-        # drop the batch-padding duplicates (keep first occurrence) so a
-        # padded name can't be selected twice
-        seen: set = set()
-        keep_idx = [i for i, n in enumerate(pool_arrays.names)
-                    if not (n in seen or seen.add(n))]
-        if len(keep_idx) != len(pool_arrays.names):
-            idx = np.asarray(keep_idx, int)
-            pool_arrays = als.DetectionPool(
-                names=[pool_arrays.names[i] for i in keep_idx],
-                boxes=pool_arrays.boxes[idx],
-                classes=pool_arrays.classes[idx],
-                mask=pool_arrays.mask[idx],
-                feats={k: v[idx] for k, v in pool_arrays.feats.items()})
-        return pool_arrays
+        return als.collect_pool(drv, batches, min_score=args.min_score)
 
     opt_params = None
     if args.opt_params:

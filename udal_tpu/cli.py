@@ -568,6 +568,39 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--seed", type=int, default=0)
     a.set_defaults(fn=cmd_al)
 
+    s = sub.add_parser("ssl",
+                       help="STAC/CSD orchestration over TFRecords (ref: "
+                            "python -m SSL_stac / SSL_csd); train_ssl is "
+                            "the lower-level student trainer")
+    common(s)
+    s.add_argument("--method", choices=["stac", "csd"], default="stac")
+    s.add_argument("--train_file_pattern", required=True,
+                   help="labeled TFRecords")
+    s.add_argument("--unlabeled_file_pattern", required=True,
+                   help="unlabeled pool TFRecords (STAC pseudo-labels "
+                        "these; CSD consumes them directly)")
+    s.add_argument("--work_dir", required=True)
+    s.add_argument("--tau", type=float, default=0.5,
+                   help="pseudo-label score threshold (ref SSL_stac tau)")
+    s.add_argument("--selection_strategy", default="score",
+                   help="score / combo / alluncert / epuncert / ental "
+                        "(ref SSL_stac.score_image)")
+    s.add_argument("--stac_lambda", type=float, default=1.0)
+    s.add_argument("--stac_randaug", action="store_true")
+    s.add_argument("--pseudoscore", action="store_true",
+                   help="write per-detection pseudo_score weights")
+    s.add_argument("--selftrain_rounds", type=int, default=0)
+    s.add_argument("--ratio", type=float, default=0.5,
+                   help="labeled fraction of each student batch")
+    s.add_argument("--csd_ramp", action="store_true")
+    s.add_argument("--csd_BE", action="store_true")
+    s.add_argument("--csd_BE_thr", type=float, default=0.5)
+    s.add_argument("--opt_params", default=None)
+    s.add_argument("--min_score", type=float, default=0.0)
+    s.add_argument("--steps_per_epoch", type=int, default=None)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_ssl)
+
     pk = sub.add_parser("parity_kitti",
                         help="real-data mAP/ECE parity table vs the "
                              "reference (see udal_tpu/apps/parity.py)")
@@ -585,6 +618,15 @@ def cmd_al(args) -> None:
     from udal_tpu.apps.al_runner import run_al
 
     run_al(args)
+
+
+def cmd_ssl(args) -> None:
+    from udal_tpu.apps.ssl_runner import run_csd, run_stac
+
+    if args.method == "stac":
+        run_stac(args)
+    else:
+        run_csd(args)
 
 
 def cmd_parity_kitti(args) -> None:
