@@ -198,3 +198,25 @@ def test_collect_pool_matches_dict_path(tmp_path):
         d_sel = al.select_images(rows, strategy, 4, opt_params=[0.4, 0.6])
         a_sel = als.select_pool(pool, strategy, 4, opt_params=[0.4, 0.6])
         assert d_sel == a_sel, strategy
+
+
+def test_degenerate_box_relativization_finite_and_parity():
+    """Boxes clipped to zero area must not poison scores with NaN/inf
+    (regression: the ensemble-efficacy run fed NaN into roc_curve)."""
+    rows = _rows(n_images=6, seed=11)
+    rows[0]["bbox"] = [10.0, 20.0, 10.0, 50.0]   # h == 0
+    rows[1]["bbox"] = [5.0, 7.0, 5.0, 7.0]       # h == w == 0
+    pool = als.pool_from_rows(rows)
+    for strategy in ["alluncert", "sota", "combo", "mean_mcbox"]:
+        d_scores, _, d_names = al.score_images(rows, strategy,
+                                               opt_params=[0.4, 0.6])
+        a_scores, _, a_names = als.score_pool(pool, strategy,
+                                              opt_params=[0.4, 0.6])
+        assert d_names == a_names
+        assert np.all(np.isfinite(a_scores)), strategy
+        np.testing.assert_allclose(np.asarray(d_scores, float), a_scores,
+                                   rtol=1e-10, atol=1e-12)
+    # degenerate boxes rank as maximally uncertain, not as NaN
+    plane = als._rel_box_plane(pool.boxes, pool.feats["uncalib_mcbox"],
+                               pool.mask)
+    assert np.all(np.isfinite(plane))

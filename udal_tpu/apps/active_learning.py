@@ -112,7 +112,8 @@ def _rel_box(det: Dict, key: str) -> float:
     sig = np.asarray(det[key], np.float64)
     h = box[2] - box[0]
     w = box[3] - box[1]
-    return float(np.mean(sig / np.asarray([h, w, h, w])))
+    denom = np.maximum(np.asarray([h, w, h, w]), 1e-6)  # degenerate clipped boxes
+    return float(np.mean(sig / denom))
 
 
 def _det_score_terms(det: Dict, strategy: str) -> List[float]:

@@ -282,9 +282,11 @@ def _rel_box_plane(boxes: np.ndarray, sigma: np.ndarray,
     sigma = np.asarray(sigma, np.float64)
     h = boxes[..., 2] - boxes[..., 0]
     w = boxes[..., 3] - boxes[..., 1]
-    denom = np.stack([h, w, h, w], axis=-1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        rel = np.mean(sigma / denom, axis=-1)
+    # Boxes clipped to the image bounds can be exactly degenerate (h or w
+    # == 0); clamp so such detections rank as hugely-uncertain finite values
+    # instead of poisoning downstream reductions/ROCs with NaN/inf.
+    denom = np.maximum(np.stack([h, w, h, w], axis=-1), 1e-6)
+    rel = np.mean(sigma / denom, axis=-1)
     return np.where(mask, rel, 0.0)
 
 

@@ -33,7 +33,8 @@ def _rel_box(det: Dict, key: str) -> float:
     box = np.asarray(det["bbox"], np.float64)
     sig = np.asarray(det[key], np.float64)
     h, w = box[2] - box[0], box[3] - box[1]
-    return float(np.mean(sig / np.asarray([h, w, h, w])))
+    denom = np.maximum(np.asarray([h, w, h, w]), 1e-6)  # degenerate clipped boxes
+    return float(np.mean(sig / denom))
 
 
 def select_pseudo_labels(rows: List[Dict], strategy: str, tau: float,

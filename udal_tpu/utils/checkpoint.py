@@ -58,7 +58,21 @@ def restore_checkpoint(model_dir: str, state, epoch: Optional[int] = None):
         if epoch is None:
             return state, 0
     mgr = _manager(model_dir)
-    restored = mgr.restore(epoch, args=ocp.args.StandardRestore(state))
+    try:
+        restored = mgr.restore(epoch, args=ocp.args.StandardRestore(state))
+    except ValueError as e:
+        if "ema_params" not in str(e) or not hasattr(state, "replace"):
+            raise
+        # EMA presence differs between the saved state and the restore
+        # target (e.g. a ckpt trained with moving_average_decay=0 restored
+        # into a target built with EMA on, or vice versa). Flip the target's
+        # ema_params and retry; serving falls back to raw params when the
+        # restored EMA is absent (`swap_in_ema`).
+        flipped = (None if state.ema_params is not None
+                   else jax.tree.map(lambda x: x, state.params))
+        restored = mgr.restore(
+            epoch, args=ocp.args.StandardRestore(state.replace(
+                ema_params=flipped)))
     mgr.close()
     return restored, epoch
 
