@@ -80,3 +80,38 @@ def test_model_table_parity_with_reference(name):
               "box_class_repeats", "anchor_scale", "max_level", "fpn_weight_method",
               "act_type", "mean_rgb", "stddev_rgb"):
         assert ours[k] == ref_cfg[k], f"{name}.{k}: {ours[k]!r} != {ref_cfg[k]!r}"
+
+
+def test_all_shipped_train_yamls_load():
+    """Every yaml under configs/train/ overrides cleanly onto d0 defaults."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "train")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert paths
+    for p in paths:
+        c = get_detection_config("efficientdet-d0")
+        c.override(p)   # raises KeyError on any unknown key
+
+
+def test_stable_variants_differ_only_in_beta_nll():
+    """The *_stable.yaml configs are their parity twin + la_beta_nll=1.0
+    (docs/COLLAPSE_ROOTCAUSE.md)."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "train")
+    stables = sorted(glob.glob(os.path.join(root, "*_stable.yaml")))
+    assert stables, "stable config variants missing"
+    for p in stables:
+        twin = p.replace("_stable.yaml", ".yaml")
+        assert os.path.exists(twin), twin
+        c_stable = get_detection_config("efficientdet-d0")
+        c_stable.override(p)
+        c_twin = get_detection_config("efficientdet-d0")
+        c_twin.override(twin)
+        ds, dt = c_stable.as_dict(), c_twin.as_dict()
+        assert ds.pop("la_beta_nll") == 1.0
+        assert dt.pop("la_beta_nll") == 0.0
+        assert ds == dt

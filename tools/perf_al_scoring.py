@@ -123,10 +123,25 @@ def main():
 
         reader = mk_reader()
         it = reader(cfg, args.batch)
+        breakdown = None
         if args.device_staged:
             import jax.numpy as jnp
 
+            # Pass 1 — host only: TFRecord read + decode (the reader's CPU
+            # work), no device upload. This is the `decode` term.
+            rd = mk_reader()
+            itd = rd(cfg, args.batch)
+            t0 = time.perf_counter()
+            for _ in range(n_batches):
+                next(itd)
+            decode_s = time.perf_counter() - t0
+            itd.close()
+
+            # Pass 2 — host + upload: same iteration with every batch
+            # pushed to the device. upload-only = pass2 - pass1 (the axon
+            # relay H2D tunnel on this host; PCIe in production).
             staged = []
+            t0 = time.perf_counter()
             for _ in range(n_batches):
                 images, labels = next(it)
                 staged.append((
@@ -135,9 +150,13 @@ def main():
                      for k, v in labels.items()}))
             # force the uploads to complete before timing
             staged[-1][0].block_until_ready()
+            stage_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             pool = als.collect_pool(drv, iter(staged))
             serve_s = time.perf_counter() - t0
+            breakdown = {"decode_s": round(decode_s, 3),
+                         "h2d_s": round(stage_s - decode_s, 3),
+                         "device_serve_s": round(serve_s, 3)}
         else:
             t0 = time.perf_counter()
             pool = als.collect_pool(drv,
@@ -158,7 +177,7 @@ def main():
                     np.round(scores, 12)).size)}
         score_s = time.perf_counter() - t0
         return compile_s, serve_s, score_s, pool.n_detections, \
-            per_strategy, reader.wait_stats()["wait_fraction"]
+            per_strategy, reader.wait_stats()["wait_fraction"], breakdown
 
     def run_dicts():
         app = InferImages(drv, work, min_score=0.0)
@@ -189,9 +208,9 @@ def main():
                     np.round(scores, 12)).size)}
         score_s = time.perf_counter() - t0
         return compile_s, serve_s, score_s, len(rows), per_strategy, \
-            reader.wait_stats()["wait_fraction"]
+            reader.wait_stats()["wait_fraction"], None
 
-    compile_s, serve_s, score_s, n_rows, per_strategy, wait = (
+    compile_s, serve_s, score_s, n_rows, per_strategy, wait, breakdown = (
         run_dicts() if args.dict_path else run_arrays())
 
     report = {
@@ -215,6 +234,11 @@ def main():
         "n_detection_rows": n_rows,
         "strategies": per_strategy,
     }
+    if breakdown is not None:
+        # serve-path decomposition (VERDICT r4 #5): host decode vs relay
+        # H2D upload vs pure device serve, measured as two extra ordered
+        # passes over the same reader contract
+        report["serve_breakdown"] = breakdown
     print(json.dumps({k: v for k, v in report.items()
                       if k != "strategies"}))
     if args.out:
