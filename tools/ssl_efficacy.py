@@ -196,6 +196,9 @@ def main():
     ap.add_argument("--teacher-steps", type=int, default=400)
     ap.add_argument("--student-steps", type=int, default=800)
     ap.add_argument("--tau", type=float, default=0.5)
+    ap.add_argument("--tau-sweep", default=None,
+                    help="comma floats: train ONE teacher, then one student "
+                         "arm per tau (reuses the teacher + pool decode)")
     ap.add_argument("--pseudo-strategy", default="score")
     ap.add_argument("--pseudoscore", action="store_true",
                     help="weight pseudo batches by mean detection score")
@@ -268,28 +271,32 @@ def main():
         log(f"  [control] AP={res['AP']:.4f}")
         save()
 
-    if "student" in arms and teacher_state is not None:
+    taus = ([float(t) for t in args.tau_sweep.split(",")]
+            if args.tau_sweep else [args.tau])
+    for tau in taus if "student" in arms and teacher_state is not None \
+            else []:
+        args.tau = tau
+        arm = "student" if len(taus) == 1 else f"student_tau{tau:g}"
         pseudo, n_img, n_det = pseudo_label(cfg_t, teacher_state, unlabeled,
                                             args, work, log)
         if n_img == 0:
-            log("  [student] SKIPPED: teacher produced no pseudo labels "
+            log(f"  [{arm}] SKIPPED: teacher produced no pseudo labels "
                 "above tau")
-            report["arms"]["student"] = {"skipped": "no pseudo labels"}
-            arms = [a for a in arms if a != "student"]
+            report["arms"][arm] = {"skipped": "no pseudo labels"}
             save()
-    if "student" in arms and teacher_state is not None:
+            continue
         cfg = base_config(args)
         b_l = args.batch // 2
         model, state = train(
             cfg, zip_iter(labeled, pseudo, b_l, args.batch - b_l,
                           args.seed, {"ssl_method": "STAC",
                                       "stac_lambda": 1.0}),
-            args.student_steps, args.seed, log, "student")
+            args.student_steps, args.seed, log, arm)
         res = eval_ours(cfg, model, state, val_path, args.batch)
-        report["arms"]["student"] = dict(
-            res, steps=args.student_steps, pseudo_images=n_img,
+        report["arms"][arm] = dict(
+            res, steps=args.student_steps, tau=tau, pseudo_images=n_img,
             pseudo_boxes=n_det)
-        log(f"  [student] AP={res['AP']:.4f}")
+        log(f"  [{arm}] AP={res['AP']:.4f}")
         save()
 
     if "csd" in arms:
@@ -306,6 +313,11 @@ def main():
         save()
 
     a = {k: v for k, v in report["arms"].items() if "AP" in v}
+    students = {k: v for k, v in a.items() if k.startswith("student")}
+    if students:
+        best = max(students, key=lambda k: students[k]["AP"])
+        report["best_student_arm"] = best
+        a["student"] = students[best]
     if "student" in a and "control" in a:
         report["student_minus_control_AP"] = a["student"]["AP"] - \
             a["control"]["AP"]
