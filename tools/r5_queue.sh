@@ -53,7 +53,7 @@ for SEED in 1 2; do
 done
 
 # ---- Stage 5: ensemble uncertainty efficacy (5 members vs 10-pass MC)
-OUT=docs/ENSEMBLE_EFFICACY.json
+OUT=docs/ENSEMBLE_BENCH.json
 if have_section "$OUT" accuracy; then
   stage "ensemble_efficacy: complete, skipping"
 else
