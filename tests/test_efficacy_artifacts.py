@@ -27,22 +27,34 @@ def _load(name):
 
 
 def test_al_efficacy_selection_beats_random():
-    report = _load("AL_EFFICACY.json")
-    arms = report["arms"]
-    assert "random" in arms
-    final_random = arms["random"][-1]["AP"]
-    uncert_arms = [s for s in arms if s != "random"]
-    assert uncert_arms
-    for s in uncert_arms:
-        assert arms[s][-1]["AP"] >= final_random - 0.005, (
-            s, arms[s][-1]["AP"], final_random)
-    # the acquisition mechanism: the uncertainty arm must over-select the
-    # informative (hard) images relative to their pool rate
-    for s in uncert_arms:
-        sel = arms[s][-1]
-        pool_rate = report["n_hard_in_pool"] / report["config"]["pool"]
-        sel_rate = sel["n_hard_selected"] / sel["n_selected"]
-        assert sel_rate > pool_rate, (s, sel_rate, pool_rate)
+    """Tightened per VERDICT r4 #2: the claim is carried by the multi-seed
+    aggregate (mean over >=3 seeds), strict inequality, no allowance."""
+    report = _load("AL_EFFICACY_MULTISEED.json")
+    assert report["n_seeds"] >= 3, report["n_seeds"]
+    final = report["final_budget"]
+    assert final["mean_delta"] > 0, final
+    assert final["entropy_mean_AP"] > final["random_mean_AP"], final
+
+
+def test_al_efficacy_mechanism_overselects_hard():
+    # the acquisition mechanism: on every committed seed the uncertainty
+    # arm must over-select the informative (hard) images relative to
+    # their pool rate
+    import glob
+    paths = [os.path.join(DOCS, "AL_EFFICACY.json")] + sorted(
+        glob.glob(os.path.join(DOCS, "al_efficacy_seed*.json")))
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        pytest.skip("no AL efficacy artifacts committed")
+    for path in paths:
+        with open(path) as f:
+            report = json.load(f)
+        arms = report["arms"]
+        for s in (a for a in arms if a != "random"):
+            sel = arms[s][-1]
+            pool_rate = report["n_hard_in_pool"] / report["config"]["pool"]
+            sel_rate = sel["n_hard_selected"] / sel["n_selected"]
+            assert sel_rate > pool_rate, (path, s, sel_rate, pool_rate)
 
 
 def test_ssl_student_improves_on_teacher():
